@@ -1,0 +1,159 @@
+"""Fused prediction decoding: softmax scores -> final detections.
+
+Replaces the reference's per-image host loop decode_boxes +
+suppress_overlaps (ssdutils.py:192-318) with one fixed-shape device
+program: per-anchor class argmax -> top-K by confidence -> box decode ->
+canvas clamp -> class-aware greedy NMS. The whole thing jits, vmaps over
+the batch, and fuses into the inference step — no host round-trip per
+image.
+
+Semantics parity notes:
+  * the reference pre-NMS cap is ``detections_cap=200`` sorted by
+    confidence (ssdutils.py:207-210) — here ``top_k``;
+  * confidence is the max over *foreground* classes; background never
+    produces a detection (ssdutils.py:203-206);
+  * the threshold keeps ``conf >= threshold`` (the reference breaks on
+    ``conf < threshold``, ssdutils.py:218-219);
+  * decoded boxes are clamped against the virtual canvas exactly like
+    normalize_box (ssdutils.py:226, utils.py:118-135).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tensorflow_tpu.ops.boxes import box_canvas_corners, clamp_boxes
+from ssd_tensorflow_tpu.ops.codec import decode_locations
+from ssd_tensorflow_tpu.ops.nms import NMS_THRESHOLD, class_aware_keep
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectionConfig:
+    """Static knobs of the decode+NMS program."""
+
+    #: pre-NMS candidate cap (reference detections_cap, ssdutils.py:193).
+    top_k: int = 200
+    #: minimum class confidence (train loop uses 0.5, train.py:276;
+    #: infer default 0.5, infer.py:77).
+    confidence_threshold: float = 0.5
+    #: NMS IoU threshold (ssdutils.py:317).
+    nms_threshold: float = NMS_THRESHOLD
+    #: post-NMS cap on emitted detections (infer.py:235).
+    max_detections: int = 200
+
+
+@dataclasses.dataclass
+class Detections:
+    """Fixed-size per-image detection tensors (batch-leading)."""
+
+    boxes: jax.Array  # (B, D, 4) center-form, canvas-clamped
+    scores: jax.Array  # (B, D) descending
+    classes: jax.Array  # (B, D) int32 foreground class ids
+    valid: jax.Array  # (B, D) bool
+
+
+jax.tree_util.register_dataclass(
+    Detections, data_fields=["boxes", "scores", "classes", "valid"], meta_fields=[]
+)
+
+
+def _decode_single(probs, locs, anchors, cfg: DetectionConfig):
+    """Decode one image: ``(A, K+1)`` probs + ``(A, 4)`` locs -> Detections row."""
+    num_fg = probs.shape[-1] - 1
+    fg = probs[:, :num_fg]
+    cls = jnp.argmax(fg, axis=-1)  # (A,)
+    conf = jnp.max(fg, axis=-1)  # (A,)
+
+    conf_top, idx = jax.lax.top_k(conf, cfg.top_k)  # sorted desc
+    cls_top = cls[idx]
+    boxes = decode_locations(locs[idx], anchors[idx])
+    boxes = clamp_boxes(boxes)
+
+    valid = conf_top >= cfg.confidence_threshold
+    corners = box_canvas_corners(boxes)
+    keep = class_aware_keep(corners, cls_top, valid, cfg.nms_threshold)
+
+    if cfg.max_detections < cfg.top_k:
+        # Compact kept detections to the front (they are already sorted
+        # by confidence) and trim to max_detections.
+        rank = jnp.cumsum(keep) - 1
+        d = cfg.max_detections
+        dest = jnp.where(keep, rank, cfg.top_k)  # parked rows -> out of range
+        boxes_o = jnp.zeros((d, 4), boxes.dtype).at[dest].set(boxes, mode="drop")
+        scores_o = jnp.zeros((d,), conf_top.dtype).at[dest].set(conf_top, mode="drop")
+        cls_o = jnp.zeros((d,), jnp.int32).at[dest].set(cls_top, mode="drop")
+        valid_o = jnp.zeros((d,), bool).at[dest].set(keep, mode="drop")
+        return boxes_o, scores_o, cls_o, valid_o
+
+    return boxes, conf_top, cls_top.astype(jnp.int32), keep
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_detections(probs, locs, anchors, cfg: DetectionConfig = DetectionConfig()):
+    """Batched fused decode+NMS.
+
+    Args:
+      probs:   ``(B, A, K+1)`` softmax class probabilities.
+      locs:    ``(B, A, 4)`` predicted location offsets.
+      anchors: ``(A, 4)`` center-form anchors.
+      cfg:     static decode configuration.
+
+    Returns:
+      :class:`Detections` with ``D = min(top_k, max_detections)`` rows
+      per image, confidence-sorted, ``valid`` marking real detections.
+    """
+    f = jax.vmap(lambda p, l: _decode_single(p, l, anchors, cfg))
+    boxes, scores, classes, valid = f(probs, locs)
+    return Detections(boxes=boxes, scores=scores, classes=classes, valid=valid)
+
+
+def detect(result, anchors, cfg: DetectionConfig = DetectionConfig()):
+    """Decode the network's fused ``result`` tensor ``(B, A, K+5)``.
+
+    ``result = concat(softmax(logits), locations)`` — the reference's
+    single inference tensor (ssdvgg.py:364-372).
+    """
+    num_vars = result.shape[-1]
+    probs = result[..., : num_vars - 4]
+    locs = result[..., num_vars - 4 :]
+    return decode_detections(probs, locs, anchors, cfg)
+
+
+def detections_to_boxes(dets: Detections, lid2name=None):
+    """Convert device Detections to host lists of ``(conf, Box)`` tuples.
+
+    Mirrors the return shape of the reference decode_boxes
+    (ssdutils.py:192-229) for the CLI/eval layers.
+    """
+    import numpy as np
+
+    from ssd_tensorflow_tpu.types import Box, Point, Size
+
+    boxes = np.asarray(dets.boxes)
+    scores = np.asarray(dets.scores)
+    classes = np.asarray(dets.classes)
+    valid = np.asarray(dets.valid)
+
+    out = []
+    for b in range(boxes.shape[0]):
+        rows = []
+        for i in np.nonzero(valid[b])[0]:
+            cid = int(classes[b, i])
+            cname = lid2name.get(cid) if lid2name else None
+            rows.append(
+                (
+                    float(scores[b, i]),
+                    Box(
+                        cname,
+                        cid,
+                        Point(float(boxes[b, i, 0]), float(boxes[b, i, 1])),
+                        Size(float(boxes[b, i, 2]), float(boxes[b, i, 3])),
+                    ),
+                )
+            )
+        out.append(rows)
+    return out
