@@ -136,7 +136,10 @@ class TestCodec:
 
     def test_roundtrip(self, rng):
         boxes = random_boxes(rng, 64).astype(np.float32)
-        anchors = random_boxes(rng, 64, tight=True).astype(np.float32)
+        # anchors near their boxes, as in real matching — keeps the
+        # encoded offsets under the legitimate decode clamp of 100
+        anchors = boxes + rng.normal(0, 0.02, boxes.shape).astype(np.float32)
+        anchors[:, 2:] = np.abs(anchors[:, 2:]) + 0.05
         enc = encode_locations(boxes, anchors)
         dec = np.asarray(decode_locations(enc, anchors))
         np.testing.assert_allclose(dec, boxes, rtol=1e-3, atol=1e-4)
