@@ -1,0 +1,232 @@
+"""The SSD-VGG detector: preset-parameterized pure forward pass.
+
+Replaces the reference's TF1 graph builder (ssdvgg.py:87-372) with a
+functional design: ``init_params`` builds a parameter pytree,
+``apply_model`` is a pure function ``(params, images) -> (logits, locs)``
+that jits, vmaps, shards and differentiates.
+
+Architecture (reference ssdvgg.py:300-372):
+  VGG16 trunk -> a-trous conv6/conv7 -> extra layers conv8..11 (+12 for
+  7-map presets) -> L2-normalized conv4_3 + 5-6 more feature maps ->
+  one 3x3 multibox head per anchor shape per map -> concat to
+  ``(B, A, K+5)``.
+
+TPU-first choices:
+  * all heads of one map run as a single wide conv (one big MXU matmul)
+    whose output channels are the per-shape heads concatenated —
+    initialization is still done per head so statistics match the
+    reference's separate 3x3 convs;
+  * anchor ordering contract: heads-major then row-major cells,
+    identical to the anchor generator (see ops/anchors.py);
+  * optional bfloat16 compute with float32 accumulation & output;
+  * preprocessing (BGR mean subtraction) fused into the jitted forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tensorflow_tpu.models import vgg16
+from ssd_tensorflow_tpu.models.layers import conv2d, conv_relu, init_conv
+from ssd_tensorflow_tpu.presets import SSDPreset, get_preset_by_name
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static model configuration (hashable -> usable as a jit static arg)."""
+
+    preset_name: str = "vgg300"
+    #: number of foreground classes K; background becomes index K
+    #: (reference: ssdvgg.py:106-107).
+    num_classes: int = 20
+    #: a-trous fc6/fc7 conversion (reference: ssdvgg.py:111-112).
+    a_trous: bool = True
+    #: conv compute dtype; params stay float32.
+    compute_dtype: str = "bfloat16"
+    #: BGR channel means subtracted on device. The reference feeds raw
+    #: BGR floats and relies on its downloaded VGG graph's internal
+    #: preprocessing; the expand-fill mean [104,117,123]
+    #: (process_dataset.py:114) pins the convention.
+    mean_bgr: Tuple[float, float, float] = (104.0, 117.0, 123.0)
+
+    @property
+    def preset(self) -> SSDPreset:
+        return get_preset_by_name(self.preset_name)
+
+    @property
+    def num_vars(self) -> int:
+        """Per-anchor output width: K+1 classes + 4 offsets."""
+        return self.num_classes + 5
+
+
+# Extra feature layers: (name, out_ch, kernel, stride, padding)
+# conv10_2 differs between 6- and 7-map presets (ssdvgg.py:300-305).
+def _extra_layer_defs(num_maps: int):
+    stride10, padding10 = (2, "SAME") if num_maps >= 7 else (1, "VALID")
+    defs = [
+        ("conv8_1", 256, 1, 1, "SAME"),
+        ("conv8_2", 512, 3, 2, "SAME"),
+        ("conv9_1", 128, 1, 1, "SAME"),
+        ("conv9_2", 256, 3, 2, "SAME"),
+        ("conv10_1", 128, 1, 1, "SAME"),
+        ("conv10_2", 256, 3, stride10, padding10),
+        ("conv11_1", 128, 1, 1, "SAME"),
+        ("conv11_2", 256, 3, 1, "VALID"),
+    ]
+    if num_maps >= 7:
+        defs += [
+            ("conv12_1", 128, 1, 1, "SAME"),  # + asymmetric pad, see apply
+            ("conv12_2", 256, 3, 1, "VALID"),
+        ]
+    return defs
+
+
+#: input channel count of each multibox head source map
+#: [norm_conv4_3, mod_conv7, conv8_2, conv9_2, conv10_2, conv11_2, (conv12_2)]
+#: (reference: ssdvgg.py:340-350).
+_MAP_CHANNELS = (512, 1024, 512, 256, 256, 256, 256)
+
+
+def init_params(key, config: ModelConfig, dtype=jnp.float32):
+    """Build the full parameter pytree."""
+    preset = config.preset
+    k_vgg, k_extra, k_heads = jax.random.split(key, 3)
+
+    params = vgg16.init_vgg_params(k_vgg, dtype)
+
+    # conv4_3 L2-norm learnable scale, initialized to 20 (ssdvgg.py:335-337)
+    params["l2_norm_conv4_3"] = {"scale": jnp.full((512,), 20.0, dtype)}
+
+    defs = _extra_layer_defs(preset.num_maps)
+    cin = 1024
+    for k, (name, cout, ksize, _, _) in zip(
+        jax.random.split(k_extra, len(defs)), defs
+    ):
+        params[name] = init_conv(k, ksize, ksize, cin, cout, dtype)
+        cin = cout
+
+    # Multibox heads: one wide conv per map, channels = heads-major
+    # concat of per-shape heads, each initialized like a separate
+    # 3x3xCx(num_vars) xavier conv (ssdvgg.py:55-65,353-362).
+    nv = config.num_vars
+    head_keys = jax.random.split(k_heads, preset.num_maps)
+    for i, m in enumerate(preset.maps):
+        c = _MAP_CHANNELS[i]
+        ks = jax.random.split(head_keys[i], m.num_shapes)
+        ws, bs = [], []
+        for kk in ks:
+            hp = init_conv(kk, 3, 3, c, nv, dtype)
+            ws.append(hp["w"])
+            bs.append(hp["b"])
+        params[f"classifier{i}"] = {
+            "w": jnp.concatenate(ws, axis=-1),
+            "b": jnp.concatenate(bs, axis=-1),
+        }
+    return params
+
+
+def preprocess(images, config: ModelConfig):
+    """uint8/float BGR images -> mean-subtracted compute-dtype tensor."""
+    dtype = jnp.dtype(config.compute_dtype)
+    x = images.astype(jnp.float32) - jnp.asarray(
+        config.mean_bgr, dtype=jnp.float32
+    )
+    return x.astype(dtype)
+
+
+def apply_model(
+    params,
+    images,
+    config: ModelConfig,
+    *,
+    preprocessed: bool = False,
+):
+    """Forward pass.
+
+    Args:
+      params: pytree from :func:`init_params`.
+      images: ``(B, H, W, 3)`` BGR images (raw 0-255 range unless
+        ``preprocessed``).
+      config: static model config.
+
+    Returns:
+      ``(logits, locs)``: ``(B, A, K+1)`` float32 class logits and
+      ``(B, A, 4)`` float32 location offsets.
+    """
+    preset = config.preset
+    x = images if preprocessed else preprocess(images, config)
+    x = x.astype(jnp.dtype(config.compute_dtype))
+
+    conv4_3, x = vgg16.apply_backbone(params, x, config.a_trous)
+
+    from ssd_tensorflow_tpu.models.layers import l2_normalize_scale
+
+    maps = [l2_normalize_scale(conv4_3, params["l2_norm_conv4_3"]["scale"]), x]
+
+    for name, _, _, stride, padding in _extra_layer_defs(preset.num_maps):
+        if name == "conv12_1":
+            x = conv_relu(params[name], x, stride, padding)
+            # asymmetric zero-pad before conv12_2 (ssdvgg.py:327-330)
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            continue
+        x = conv_relu(params[name], x, stride, padding)
+        if name in ("conv8_2", "conv9_2", "conv10_2", "conv11_2", "conv12_2"):
+            maps.append(x)
+
+    assert len(maps) == preset.num_maps, (len(maps), preset.num_maps)
+
+    nv = config.num_vars
+    outputs = []
+    for i, (fmap, m) in enumerate(zip(maps, preset.maps)):
+        hp = params[f"classifier{i}"]
+        y = conv2d(fmap, hp["w"], hp["b"])  # (B, h, w, ns*nv)
+        b, h, w, _ = y.shape
+        assert (h, w) == (m.size.h, m.size.w), (
+            f"map {i}: got {h}x{w}, preset says {m.size.h}x{m.size.w}"
+        )
+        # heads-major, then row-major cells — the anchor-order contract
+        y = y.reshape(b, h * w, m.num_shapes, nv)
+        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, m.num_shapes * h * w, nv)
+        outputs.append(y)
+
+    out = jnp.concatenate(outputs, axis=1).astype(jnp.float32)
+    logits = out[:, :, : config.num_classes + 1]
+    locs = out[:, :, config.num_classes + 1 :]
+    return logits, locs
+
+
+def apply_result(params, images, config: ModelConfig):
+    """The reference's fused inference tensor: concat(softmax, locs).
+
+    Reference: ssdvgg.py:368-372 ('result/result').
+    """
+    logits, locs = apply_model(params, images, config)
+    return jnp.concatenate([jax.nn.softmax(logits, axis=-1), locs], axis=-1)
+
+
+class SSDVGG:
+    """Thin OO facade bundling config + params, mirroring the reference's
+    class surface (ssdvgg.py:87) for users coming from it."""
+
+    def __init__(self, config: ModelConfig, params=None):
+        self.config = config
+        self.preset = config.preset
+        self.num_classes = config.num_classes + 1
+        self.num_vars = config.num_vars
+        self.params = params
+
+    def init(self, seed: int = 0, pretrained_vgg: Optional[str] = None):
+        self.params = init_params(jax.random.PRNGKey(seed), self.config)
+        if pretrained_vgg:
+            self.params = vgg16.load_pretrained_vgg(pretrained_vgg, self.params)
+        return self.params
+
+    def __call__(self, images):
+        return apply_model(self.params, images, self.config)
+
+    def result(self, images):
+        return apply_result(self.params, images, self.config)
