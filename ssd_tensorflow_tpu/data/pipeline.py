@@ -1,0 +1,237 @@
+"""Training-data facade and batch generators.
+
+Replaces the reference's pickled-transform artifact + fork-worker +
+shared-memory-queue machinery (training_data.py, data_queue.py) with:
+
+* a **declarative JSON artifact** (``training-data.json``) holding the
+  preset and augmentation parameters — transforms are rebuilt from
+  config, not unpickled as live objects;
+* fixed-shape batches: images stay uint8 on the host (4x less
+  host->device traffic; the jitted step casts + mean-subtracts on
+  device) and ground truth ships as padded ``(B, G, 4)`` arrays because
+  target assignment runs on device;
+* a multiprocessing pool for augmentation workers (the rejection loops
+  are the host-side hot path) with a serial fallback at
+  ``num_workers=0``.
+
+The >=1-positive resampling rule is preserved: a sample's augmentation
+chain re-runs up to 50x until some anchor matches
+(training_data.py:92-98), via the cheap host-side max-IoU check.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import pickle
+import random
+
+import numpy as np
+
+from ssd_tensorflow_tpu.data import transforms as T
+from ssd_tensorflow_tpu.ops.anchors import anchors_for_preset
+from ssd_tensorflow_tpu.ops.iou_np import canvas_corners_np, pairwise_canvas_iou_np
+from ssd_tensorflow_tpu.presets import preset_from_dict
+
+#: default cap on ground-truth boxes per image; VOC maxes out around 40.
+MAX_GT = 60
+
+#: resample attempts (training_data.py:94).
+MAX_RESAMPLE = 50
+
+
+def _boxes_to_arrays(boxes, max_gt):
+    out_boxes = np.zeros((max_gt, 4), dtype=np.float32)
+    out_labels = np.zeros((max_gt,), dtype=np.int32)
+    out_mask = np.zeros((max_gt,), dtype=bool)
+    for i, b in enumerate(boxes[:max_gt]):
+        out_boxes[i] = (b.center.x, b.center.y, b.size.w, b.size.h)
+        out_labels[i] = b.labelid
+        out_mask[i] = True
+    return out_boxes, out_labels, out_mask
+
+
+class _SampleProcessor:
+    """Runs the augmentation chain for one sample with resampling.
+
+    Picklable (built from config) so it can cross a fork boundary into
+    pool workers.
+    """
+
+    def __init__(self, preset, num_classes, aug_config, train: bool, max_gt=MAX_GT):
+        self.preset = preset
+        self.num_classes = num_classes
+        self.train = train
+        self.max_gt = max_gt
+        if train:
+            self.transforms = T.build_train_transforms(
+                preset,
+                num_classes,
+                sampler_trials=aug_config.get("sampler_trials", 50),
+                expand_prob=aug_config.get("expand_probability", 0.5),
+            )
+        else:
+            self.transforms = T.build_valid_transforms(preset, num_classes)
+        # anchor canvas corners for the fast positive check
+        anchors = anchors_for_preset(preset)
+        self._anchor_corners = canvas_corners_np(anchors)
+
+    def _has_positive(self, boxes) -> bool:
+        if not boxes:
+            return False
+        arr = np.array(
+            [[b.center.x, b.center.y, b.size.w, b.size.h] for b in boxes]
+        )
+        iou = pairwise_canvas_iou_np(
+            canvas_corners_np(arr), self._anchor_corners
+        )
+        return bool(iou.max() > 0.5)
+
+    def __call__(self, sample):
+        if self.train:
+            image, gt = None, sample
+            for _ in range(MAX_RESAMPLE):
+                image, _, gt = T.run_transforms(sample, self.transforms)
+                if self._has_positive(gt.boxes):
+                    break
+        else:
+            image, _, gt = T.run_transforms(sample, self.transforms)
+        boxes, labels, mask = _boxes_to_arrays(gt.boxes, self.max_gt)
+        return image.astype(np.uint8), boxes, labels, mask, gt.boxes
+
+
+_WORKER_PROC = None
+
+
+def _pool_init(processor, seed_base):
+    global _WORKER_PROC
+    _WORKER_PROC = processor
+    random.seed(seed_base + os.getpid())
+    np.random.seed((seed_base + os.getpid()) % 2**31)
+
+
+def _pool_process_batch(samples):
+    return [_WORKER_PROC(s) for s in samples]
+
+
+def _collate(results, batch_size, image_size):
+    """Stack per-sample results into a fixed-shape batch dict."""
+    n = len(results)
+    h, w = image_size.h, image_size.w
+    g = results[0][1].shape[0]
+    batch = {
+        "images": np.zeros((batch_size, h, w, 3), dtype=np.uint8),
+        "gt_boxes": np.zeros((batch_size, g, 4), dtype=np.float32),
+        "gt_labels": np.zeros((batch_size, g), dtype=np.int32),
+        "gt_mask": np.zeros((batch_size, g), dtype=bool),
+    }
+    gt_lists = []
+    for i, (img, boxes, labels, mask, gt_boxes) in enumerate(results):
+        batch["images"][i] = img
+        batch["gt_boxes"][i] = boxes
+        batch["gt_labels"][i] = labels
+        batch["gt_mask"][i] = mask
+        gt_lists.append(gt_boxes)
+    return batch, gt_lists, n
+
+
+class TrainingData:
+    """Facade over the prepared dataset artifacts.
+
+    Reads ``training-data.json`` + ``{train,valid}-samples.pkl`` written
+    by the process_dataset CLI and exposes the same metadata surface as
+    the reference (training_data.py:35-74): ``preset, num_classes,
+    label_colors, lid2name, lname2id, num_train, num_valid,
+    train_samples, valid_samples`` plus generator factories.
+    """
+
+    def __init__(self, data_dir, max_gt: int = MAX_GT):
+        try:
+            with open(os.path.join(data_dir, "training-data.json")) as f:
+                data = json.load(f)
+            with open(os.path.join(data_dir, "train-samples.pkl"), "rb") as f:
+                self.train_samples = pickle.load(f)
+            with open(os.path.join(data_dir, "valid-samples.pkl"), "rb") as f:
+                self.valid_samples = pickle.load(f)
+        except (FileNotFoundError, IOError) as e:
+            raise RuntimeError(str(e))
+
+        self.preset = preset_from_dict(data["preset"])
+        self.num_classes = data["num-classes"]
+        self.label_colors = {
+            k: tuple(v) for k, v in data["colors"].items()
+        }
+        self.lid2name = {int(k): v for k, v in data["lid2name"].items()}
+        self.lname2id = data["lname2id"]
+        self.augmentation = data.get("augmentation", {})
+        self.max_gt = max_gt
+        self.num_train = len(self.train_samples)
+        self.num_valid = len(self.valid_samples)
+
+    # -- generators -----------------------------------------------------
+
+    def train_generator(self, batch_size, num_workers=0, drop_last=True):
+        return self.__generate(
+            self.train_samples, True, batch_size, num_workers, drop_last, shuffle=True
+        )
+
+    def valid_generator(self, batch_size, num_workers=0):
+        return self.__generate(
+            self.valid_samples, False, batch_size, num_workers,
+            drop_last=False, shuffle=False,
+        )
+
+    def num_train_batches(self, batch_size, drop_last=True):
+        if drop_last:
+            return self.num_train // batch_size
+        return math.ceil(self.num_train / batch_size)
+
+    def num_valid_batches(self, batch_size):
+        return math.ceil(self.num_valid / batch_size)
+
+    def __generate(
+        self, samples, train, batch_size, num_workers, drop_last, shuffle
+    ):
+        processor = _SampleProcessor(
+            self.preset, self.num_classes, self.augmentation, train, self.max_gt
+        )
+        order = list(samples)
+        if shuffle:
+            random.shuffle(order)
+        if drop_last:
+            usable = len(order) - (len(order) % batch_size)
+            order = order[:usable]
+
+        chunks = [
+            order[off : off + batch_size]
+            for off in range(0, len(order), batch_size)
+        ]
+
+        if num_workers > 0:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            seed = random.randint(0, 2**30)
+            try:
+                import cv2
+
+                prev_threads = cv2.getNumThreads()
+                cv2.setNumThreads(1)
+            except ImportError:
+                prev_threads = None
+            pool = ctx.Pool(
+                num_workers, initializer=_pool_init, initargs=(processor, seed)
+            )
+            if prev_threads is not None:
+                cv2.setNumThreads(prev_threads)
+            try:
+                for results in pool.imap(_pool_process_batch, chunks):
+                    yield _collate(results, batch_size, self.preset.image_size)
+            finally:
+                pool.terminate()
+                pool.join()
+        else:
+            for chunk in chunks:
+                results = [processor(s) for s in chunk]
+                yield _collate(results, batch_size, self.preset.image_size)
