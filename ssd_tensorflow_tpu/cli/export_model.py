@@ -1,0 +1,77 @@
+"""Model export CLI (reference: export_model.py).
+
+Freezes a training checkpoint into a standalone inference bundle — the
+functional analog of convert_variables_to_constants + GraphDef
+(export_model.py:62-72): a single npz with (params, model config, label
+map) that detect.py runs without any training artifacts. Optionally
+also emits a serialized StableHLO program via jax.export for
+deployment to non-Python runtimes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ssd_tensorflow_tpu.inference import (
+    load_params_from_train_checkpoint,
+    save_bundle,
+)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="Export a trained model")
+    parser.add_argument(
+        "--checkpoint-file", required=True, help="training checkpoint (.npz)"
+    )
+    parser.add_argument(
+        "--output-file", default="model.ssdtpu.npz", help="output bundle file"
+    )
+    parser.add_argument(
+        "--stablehlo",
+        default=None,
+        help="also export a serialized StableHLO program to this path",
+    )
+    parser.add_argument(
+        "--stablehlo-batch-size", type=int, default=32,
+        help="batch size baked into the StableHLO export",
+    )
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    print("[i] Checkpoint file:", args.checkpoint_file)
+    print("[i] Output file:    ", args.output_file)
+
+    params, model_cfg, lid2name = load_params_from_train_checkpoint(
+        args.checkpoint_file
+    )
+    save_bundle(args.output_file, params, model_cfg, lid2name)
+    print("[i] Bundle written:", args.output_file)
+
+    if args.stablehlo:
+        import jax
+        import jax.numpy as jnp
+
+        from ssd_tensorflow_tpu.models.ssd_vgg import apply_result
+
+        b = args.stablehlo_batch_size
+        h, w = model_cfg.preset.image_size.h, model_cfg.preset.image_size.w
+
+        def fn(images):
+            return apply_result(params, images, model_cfg)
+
+        exported = jax.export.export(jax.jit(fn))(
+            jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
+        )
+        with open(args.stablehlo, "wb") as f:
+            f.write(exported.serialize())
+        print("[i] StableHLO written:", args.stablehlo)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,169 @@
+"""Inference / evaluation CLI (reference: infer.py).
+
+Runs a trained model over explicit files or a dataset sample, and per
+flags: annotates images, dumps raw predictions, computes VOC AP/mAP,
+and writes Pascal eval-server submission files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+import numpy as np
+
+from ssd_tensorflow_tpu.data.sources import load_data_source
+from ssd_tensorflow_tpu.eval.average_precision import APCalculator, APs2mAP
+from ssd_tensorflow_tpu.eval.pascal_summary import PascalSummary
+from ssd_tensorflow_tpu.inference import InferenceModel
+from ssd_tensorflow_tpu.ops.postprocess import DetectionConfig
+from ssd_tensorflow_tpu.types import str2bool
+from ssd_tensorflow_tpu.utils.checkpoint import find_checkpoint
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="SSD inference")
+    parser.add_argument("files", nargs="*", help="files to infer on")
+    parser.add_argument("--name", default="test", help="project name")
+    parser.add_argument(
+        "--checkpoint", type=int, default=-1, help="checkpoint to restore; -1 is the most recent"
+    )
+    parser.add_argument(
+        "--training-data",
+        default="pascal-voc/training-data.json",
+        help="training data artifact (for label names and colors)",
+    )
+    parser.add_argument("--output-dir", default="test-output", help="output directory")
+    parser.add_argument("--annotate", type=str2bool, default="False", help="annotate images")
+    parser.add_argument(
+        "--dump-predictions", type=str2bool, default="False",
+        help="dump raw predictions as .npy",
+    )
+    parser.add_argument(
+        "--compute-stats", type=str2bool, default="True",
+        help="compute AP/mAP (requires --data-source)",
+    )
+    parser.add_argument("--data-source", default=None, help="dataset source")
+    parser.add_argument("--data-dir", default="pascal-voc", help="dataset directory")
+    parser.add_argument("--batch-size", type=int, default=32, help="batch size")
+    parser.add_argument(
+        "--sample", default="test", choices=["test", "trainval"], help="dataset sample"
+    )
+    parser.add_argument("--threshold", type=float, default=0.5, help="confidence threshold")
+    parser.add_argument(
+        "--pascal-summary", type=str2bool, default="False",
+        help="write Pascal eval-server submission files",
+    )
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    for k, v in sorted(vars(args).items()):
+        print(f"[i] {k.replace('_', ' ').capitalize():24s}: {v}")
+
+    # checkpoint (reference: infer.py:107-126)
+    ckpt_path, epoch = find_checkpoint(args.name, args.checkpoint)
+    if ckpt_path is None:
+        print("[!] No checkpoints found in", args.name)
+        return 1
+    print("[i] Checkpoint:", ckpt_path)
+
+    # dataset-provided files + ground truth
+    source = None
+    gt_by_file = {}
+    files = list(args.files)
+    if args.data_source:
+        print("[i] Configuring the data source...")
+        source = load_data_source(args.data_source)
+        if args.sample == "test":
+            source.load_test_data(args.data_dir)
+            samples = source.test_samples
+        else:
+            source.load_trainval_data(args.data_dir, 0)
+            samples = source.train_samples
+        for s in samples:
+            gt_by_file[s.filename] = s.boxes
+        files += [s.filename for s in samples]
+
+    if not files:
+        print("[!] No files to process")
+        return 1
+
+    model = InferenceModel.from_checkpoint(
+        ckpt_path,
+        detection=DetectionConfig(
+            top_k=200, confidence_threshold=args.threshold
+        ),
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    ap_calc = APCalculator() if (args.compute_stats and gt_by_file) else None
+    summary = PascalSummary() if args.pascal_summary else None
+
+    try:
+        from tqdm import tqdm
+    except ImportError:
+        def tqdm(x, **kw):
+            return x
+
+    n_batches = math.ceil(len(files) / args.batch_size)
+    for off in tqdm(
+        range(0, len(files), args.batch_size),
+        total=n_batches,
+        desc="[i] Processing",
+        unit="batches",
+    ):
+        chunk = files[off : off + args.batch_size]
+        # fixed-shape batches keep one compiled program: pad + trim
+        padded = chunk + [chunk[-1]] * (args.batch_size - len(chunk))
+        images, sizes = model.preprocess_files(padded)
+        result, dets = model.run(images)
+        from ssd_tensorflow_tpu.ops.postprocess import detections_to_boxes
+
+        boxes_list = detections_to_boxes(dets, model.lid2name)
+
+        for i, fname in enumerate(chunk):
+            boxes = boxes_list[i]
+            base = os.path.basename(fname)
+            if args.annotate:
+                import cv2
+
+                from ssd_tensorflow_tpu.utils.summaries import draw_box
+
+                img = cv2.imread(fname)
+                # colors from the source when available
+                colors = getattr(source, "colors", {})
+                for conf, box in boxes:
+                    draw_box(img, box, colors.get(box.label, (0, 255, 0)))
+                cv2.imwrite(os.path.join(args.output_dir, base), img)
+            if args.dump_predictions:
+                np.save(
+                    os.path.join(args.output_dir, base + ".npy"),
+                    np.asarray(result[i]),
+                )
+            if ap_calc is not None and fname in gt_by_file:
+                ap_calc.add_detections(gt_by_file[fname], boxes)
+            if summary is not None:
+                summary.add_detections(fname, boxes)
+
+    if ap_calc is not None:
+        aps = ap_calc.compute_aps()
+        for k in sorted(aps):
+            print(f"[i] AP [{k}]: {aps[k]:.4f}")
+        print(f"[i] mAP: {APs2mAP(aps):.4f}")
+
+    if summary is not None:
+        summary.write_summary(args.output_dir)
+        print("[i] Pascal summary written to", args.output_dir)
+
+    print("[i] All done.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,360 @@
+"""Training CLI (reference: train.py).
+
+The same flag surface and epoch/summary/checkpoint behavior as the
+reference, running on the TPU-native stack: device-side target
+assignment, a jitted mesh-sharded train step, fused on-device
+decode+NMS for the per-epoch mAP accounting, async npz checkpoints and
+the dependency-free TensorBoard writer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import multiprocessing as mp
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+from ssd_tensorflow_tpu.data.pipeline import TrainingData
+from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, init_params
+from ssd_tensorflow_tpu.models.vgg16 import load_pretrained_vgg
+from ssd_tensorflow_tpu.ops.anchors import anchors_for_preset
+from ssd_tensorflow_tpu.ops.postprocess import DetectionConfig, detections_to_boxes
+from ssd_tensorflow_tpu.parallel.mesh import make_mesh
+from ssd_tensorflow_tpu.parallel.train_step import (
+    TrainConfig,
+    make_eval_step,
+    make_train_state,
+    make_train_step,
+    shard_batch,
+    shard_state,
+)
+from ssd_tensorflow_tpu.eval.average_precision import APCalculator, APs2mAP
+from ssd_tensorflow_tpu.types import str2bool
+from ssd_tensorflow_tpu.utils.checkpoint import (
+    CheckpointManager,
+    checkpoint_config,
+    find_checkpoint,
+    restore_checkpoint,
+)
+from ssd_tensorflow_tpu.utils.summaries import (
+    ImageSummary,
+    LossSummary,
+    NetSummary,
+    PrecisionSummary,
+)
+from ssd_tensorflow_tpu.utils.tensorboard import SummaryWriter
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="Train the SSD")
+    parser.add_argument("--name", default="test", help="project name")
+    parser.add_argument("--data-dir", default="pascal-voc", help="data directory")
+    parser.add_argument(
+        "--vgg-dir",
+        default="vgg_graph",
+        help="directory holding vgg16.npz pretrained weights (optional)",
+    )
+    parser.add_argument("--epochs", type=int, default=200, help="number of epochs")
+    parser.add_argument("--batch-size", type=int, default=8, help="batch size")
+    parser.add_argument(
+        "--tensorboard-dir", default="tb", help="tensorboard data directory"
+    )
+    parser.add_argument(
+        "--checkpoint-interval", type=int, default=5, help="checkpoint interval"
+    )
+    parser.add_argument(
+        "--lr-values", type=str, default="0.00075;0.0001;0.00001",
+        help="learning rate values",
+    )
+    parser.add_argument(
+        "--lr-boundaries", type=str, default="320000;400000",
+        help="learning rate change boundaries (in batches)",
+    )
+    parser.add_argument("--momentum", type=float, default=0.9, help="momentum")
+    parser.add_argument(
+        "--weight-decay", type=float, default=0.0005, help="L2 normalization factor"
+    )
+    parser.add_argument(
+        "--continue-training", type=str2bool, default="False",
+        help="continue training from the latest checkpoint",
+    )
+    parser.add_argument(
+        "--num-workers", type=int, default=mp.cpu_count(),
+        help="number of parallel data workers",
+    )
+    # TPU-native extensions
+    parser.add_argument(
+        "--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"],
+        help="conv compute precision",
+    )
+    parser.add_argument(
+        "--data-parallel", type=int, default=0,
+        help="data-parallel mesh size (0 = all devices)",
+    )
+    parser.add_argument(
+        "--profile-dir", default=None,
+        help="write a jax profiler trace of a few steps to this directory",
+    )
+    return parser
+
+
+def _losses_for_summary(losses, batch_size, num_real):
+    """Rescale batch-mean losses to per-real-sample means (padded rows
+    contribute zero conf/loc; l2 is batch-independent)."""
+    a = batch_size / max(num_real, 1)
+    conf = float(losses["confidence"]) * a
+    loc = float(losses["localization"]) * a
+    l2 = float(losses["l2"])
+    return {
+        "confidence": conf,
+        "localization": loc,
+        "l2": l2,
+        "total": conf + loc + l2,
+    }
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    for k, v in sorted(vars(args).items()):
+        print(f"[i] {k.replace('_', ' ').capitalize():24s}: {v}")
+
+    # ------------------------------------------------------------------
+    # Resume or fresh start (reference: train.py:98-147)
+    # ------------------------------------------------------------------
+    start_epoch = 0
+    checkpoint_file = None
+    if args.continue_training:
+        checkpoint_file, last_epoch = find_checkpoint(args.name)
+        if checkpoint_file is None or last_epoch is None:
+            print("[!] No network state found in " + args.name)
+            return 1
+        start_epoch = last_epoch
+    else:
+        os.makedirs(args.name, exist_ok=True)
+
+    print("[i] Starting at epoch:    ", start_epoch + 1)
+
+    # ------------------------------------------------------------------
+    # Training data
+    # ------------------------------------------------------------------
+    try:
+        td = TrainingData(args.data_dir)
+        print("[i] # training samples:   ", td.num_train)
+        print("[i] # validation samples: ", td.num_valid)
+        print("[i] # classes:            ", td.num_classes)
+        print("[i] Image size:           ", td.preset.image_size)
+    except (AttributeError, RuntimeError) as e:
+        print("[!] Unable to load training data:", str(e))
+        return 1
+
+    # ------------------------------------------------------------------
+    # Model + train step
+    # ------------------------------------------------------------------
+    lr_values = tuple(float(x) for x in args.lr_values.split(";"))
+    lr_boundaries = tuple(int(x) for x in args.lr_boundaries.split(";"))
+    if len(lr_values) != len(lr_boundaries) + 1:
+        print("[!] need one more lr value than boundaries")
+        return 1
+
+    model_cfg = ModelConfig(
+        preset_name=td.preset.name,
+        num_classes=td.num_classes,
+        compute_dtype=args.compute_dtype,
+    )
+    train_cfg = TrainConfig(
+        model=model_cfg,
+        lr_values=lr_values,
+        lr_boundaries=lr_boundaries,
+        momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        detect=DetectionConfig(confidence_threshold=0.5),
+    )
+    anchors = anchors_for_preset(td.preset)
+
+    config_dict = {
+        "model": {
+            "preset_name": model_cfg.preset_name,
+            "num_classes": model_cfg.num_classes,
+            "a_trous": model_cfg.a_trous,
+            "compute_dtype": model_cfg.compute_dtype,
+            "mean_bgr": list(model_cfg.mean_bgr),
+        },
+        "train": {
+            "lr_values": list(lr_values),
+            "lr_boundaries": list(lr_boundaries),
+            "momentum": args.momentum,
+            "weight_decay": args.weight_decay,
+        },
+        "lid2name": {str(k): v for k, v in td.lid2name.items()},
+    }
+
+    print("[i] Creating the model...")
+    params = init_params(jax.random.PRNGKey(0), model_cfg)
+    vgg_npz = os.path.join(args.vgg_dir, "vgg16.npz")
+    if start_epoch == 0 and os.path.exists(vgg_npz):
+        print("[i] Loading pretrained VGG weights from", vgg_npz)
+        params = load_pretrained_vgg(vgg_npz, params)
+    elif start_epoch == 0:
+        print(f"[!] {vgg_npz} not found — training from random init")
+
+    state = make_train_state(params, train_cfg)
+    if checkpoint_file is not None:
+        print("[i] Restoring checkpoint", checkpoint_file)
+        state = restore_checkpoint(checkpoint_file, state)
+
+    if args.data_parallel:
+        data_size = args.data_parallel
+    else:
+        # the data axis must divide the batch; use the largest power
+        # of available devices that does
+        data_size = math.gcd(args.batch_size, len(jax.devices()))
+    mesh = make_mesh(data=data_size)
+    print(f"[i] Mesh: {dict(mesh.shape)} over {len(mesh.devices.ravel())} device(s)")
+    state = shard_state(state, mesh)
+
+    train_step = make_train_step(train_cfg, anchors)
+    eval_step = make_eval_step(train_cfg, anchors)
+
+    # ------------------------------------------------------------------
+    # Summaries + checkpoints (reference: train.py:203-241)
+    # ------------------------------------------------------------------
+    writer = SummaryWriter(args.tensorboard_dir)
+    ckpt_mgr = CheckpointManager(args.name, config_dict, max_to_keep=20)
+
+    training_ap_calc = APCalculator()
+    validation_ap_calc = APCalculator()
+    labels = list(td.lname2id.keys())
+    training_ap = PrecisionSummary(writer, "training", labels)
+    validation_ap = PrecisionSummary(writer, "validation", labels)
+    training_imgs = ImageSummary(writer, "training", td.label_colors)
+    validation_imgs = ImageSummary(writer, "validation", td.label_colors)
+    training_loss = LossSummary(writer, "training", td.num_train)
+    validation_loss = LossSummary(writer, "validation", td.num_valid)
+    net_summary = NetSummary(writer)
+
+    if start_epoch == 0:
+        net_summary.push(0, jax.device_get(state.params))
+        writer.flush()
+
+    try:
+        from tqdm import tqdm
+    except ImportError:
+        def tqdm(x, **kw):
+            return x
+
+    n_train_batches = td.num_train_batches(args.batch_size)
+    n_valid_batches = td.num_valid_batches(args.batch_size)
+
+    profiled = False
+
+    # ------------------------------------------------------------------
+    # Epoch loop (reference: train.py:243-343)
+    # ------------------------------------------------------------------
+    print("[i] Training...")
+    for e in range(start_epoch, args.epochs):
+        training_imgs_samples = []
+        validation_imgs_samples = []
+
+        generator = td.train_generator(args.batch_size, args.num_workers)
+        description = "[i] Train {:>2}/{}".format(e + 1, args.epochs)
+        for batch, gt_lists, num_real in tqdm(
+            generator, total=n_train_batches, desc=description, unit="batches"
+        ):
+            if args.profile_dir and not profiled and e > start_epoch:
+                jax.profiler.start_trace(args.profile_dir)
+
+            saved_images = (
+                np.copy(batch["images"][:3])
+                if len(training_imgs_samples) < 3
+                else None
+            )
+            dev_batch = shard_batch(batch, mesh)
+            state, losses, dets = train_step(state, dev_batch)
+
+            if args.profile_dir and not profiled and e > start_epoch:
+                jax.block_until_ready(losses["total"])
+                jax.profiler.stop_trace()
+                profiled = True
+                print("[i] Profiler trace written to", args.profile_dir)
+
+            if math.isnan(float(losses["confidence"])):
+                print("[!] Confidence loss is NaN.")
+
+            training_loss.add(
+                _losses_for_summary(losses, args.batch_size, num_real), num_real
+            )
+
+            if e == 0:
+                continue
+
+            boxes_per_image = detections_to_boxes(dets, td.lid2name)
+            for i in range(num_real):
+                boxes = boxes_per_image[i]
+                training_ap_calc.add_detections(gt_lists[i], boxes)
+                if len(training_imgs_samples) < 3 and saved_images is not None:
+                    training_imgs_samples.append((saved_images[i], boxes))
+
+        generator = td.valid_generator(args.batch_size, args.num_workers)
+        description = "[i] Valid {:>2}/{}".format(e + 1, args.epochs)
+        for batch, gt_lists, num_real in tqdm(
+            generator, total=n_valid_batches, desc=description, unit="batches"
+        ):
+            dev_batch = shard_batch(batch, mesh)
+            losses, dets = eval_step(state.params, dev_batch)
+            validation_loss.add(
+                _losses_for_summary(losses, args.batch_size, num_real), num_real
+            )
+
+            if e == 0:
+                continue
+
+            boxes_per_image = detections_to_boxes(dets, td.lid2name)
+            for i in range(num_real):
+                boxes = boxes_per_image[i]
+                validation_ap_calc.add_detections(gt_lists[i], boxes)
+                if len(validation_imgs_samples) < 3:
+                    validation_imgs_samples.append(
+                        (np.copy(batch["images"][i]), boxes)
+                    )
+
+        # -- summaries (reference: train.py:308-331) --------------------
+        training_loss.push(e + 1)
+        validation_loss.push(e + 1)
+        net_summary.push(e + 1, jax.device_get(state.params))
+
+        APs = training_ap_calc.compute_aps()
+        mAP = APs2mAP(APs)
+        training_ap.push(e + 1, mAP, APs)
+        if e > 0:
+            print(f"[i] Epoch {e + 1}: train mAP {mAP:.4f}", end="")
+
+        APs = validation_ap_calc.compute_aps()
+        mAP = APs2mAP(APs)
+        validation_ap.push(e + 1, mAP, APs)
+        if e > 0:
+            print(f", valid mAP {mAP:.4f}")
+
+        training_ap_calc.clear()
+        validation_ap_calc.clear()
+        training_imgs.push(e + 1, training_imgs_samples)
+        validation_imgs.push(e + 1, validation_imgs_samples)
+        writer.flush()
+
+        if (e + 1) % args.checkpoint_interval == 0:
+            path = ckpt_mgr.save(e + 1, state)
+            print("[i] Checkpoint saved:", path)
+
+    ckpt_mgr.save(args.epochs, state, final=True)
+    ckpt_mgr.wait()
+    print("[i] Checkpoint saved:", os.path.join(args.name, "final.ckpt.npz"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,155 @@
+"""Inference façade: load a trained model and run fused detection.
+
+Used by the infer/detect CLIs and bench. The exported "frozen" artifact
+is a single npz bundle of (params, model config, label map) — the
+functional analog of the reference's frozen GraphDef
+(export_model.py:62-72): everything needed to reconstruct the jitted
+inference function, nothing else.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, apply_result, init_params
+from ssd_tensorflow_tpu.ops.anchors import anchors_for_preset
+from ssd_tensorflow_tpu.ops.postprocess import (
+    DetectionConfig,
+    decode_detections,
+    detections_to_boxes,
+)
+from ssd_tensorflow_tpu.parallel.train_step import TrainConfig, make_train_state
+from ssd_tensorflow_tpu.utils.checkpoint import checkpoint_config, restore_checkpoint
+
+
+def model_config_from_dict(d: dict) -> ModelConfig:
+    return ModelConfig(
+        preset_name=d["preset_name"],
+        num_classes=d["num_classes"],
+        a_trous=d.get("a_trous", True),
+        compute_dtype=d.get("compute_dtype", "bfloat16"),
+        mean_bgr=tuple(d.get("mean_bgr", (104.0, 117.0, 123.0))),
+    )
+
+
+def load_params_from_train_checkpoint(path: str):
+    """Rebuild (params, model config, lid2name) from a training ckpt."""
+    cfg = checkpoint_config(path)
+    model_cfg = model_config_from_dict(cfg["model"])
+    tc = cfg.get("train", {})
+    train_cfg = TrainConfig(
+        model=model_cfg,
+        lr_values=tuple(tc.get("lr_values", (1e-3,))),
+        lr_boundaries=tuple(tc.get("lr_boundaries", ())),
+        momentum=tc.get("momentum", 0.9),
+        weight_decay=tc.get("weight_decay", 0.0005),
+    )
+    template = make_train_state(
+        init_params(jax.random.PRNGKey(0), model_cfg), train_cfg
+    )
+    state = restore_checkpoint(path, template)
+    lid2name = {int(k): v for k, v in cfg.get("lid2name", {}).items()}
+    return state.params, model_cfg, lid2name
+
+
+def save_bundle(path: str, params, model_cfg: ModelConfig, lid2name=None):
+    """Write the standalone inference bundle."""
+    leaves, _ = jax.tree_util.tree_flatten(params)
+    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    meta = {
+        "model": {
+            "preset_name": model_cfg.preset_name,
+            "num_classes": model_cfg.num_classes,
+            "a_trous": model_cfg.a_trous,
+            "compute_dtype": model_cfg.compute_dtype,
+            "mean_bgr": list(model_cfg.mean_bgr),
+        },
+        "lid2name": {str(k): v for k, v in (lid2name or {}).items()},
+        "format": "ssd_tensorflow_tpu.bundle.v1",
+    }
+    arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def load_bundle(path: str):
+    """Load (params, model config, lid2name) from an inference bundle."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]))
+        model_cfg = model_config_from_dict(meta["model"])
+        template = init_params(jax.random.PRNGKey(0), model_cfg)
+        leaves, treedef = jax.tree_util.tree_flatten(template)
+        loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
+        params = jax.tree_util.tree_unflatten(treedef, loaded)
+        lid2name = {int(k): v for k, v in meta.get("lid2name", {}).items()}
+    return params, model_cfg, lid2name
+
+
+class InferenceModel:
+    """Jitted end-to-end detector: uint8 BGR batch -> detections."""
+
+    def __init__(self, params, model_cfg: ModelConfig, lid2name=None,
+                 detection: DetectionConfig | None = None):
+        self.params = jax.device_put(params)
+        self.config = model_cfg
+        self.preset = model_cfg.preset
+        self.lid2name = lid2name or {}
+        self.detection = detection or DetectionConfig(
+            top_k=200, confidence_threshold=0.01
+        )
+        self._anchors = jnp.asarray(anchors_for_preset(self.preset))
+
+        @partial(jax.jit, static_argnames=())
+        def _run(params, images):
+            result = apply_result(params, images, model_cfg)
+            probs = result[..., : model_cfg.num_classes + 1]
+            locs = result[..., model_cfg.num_classes + 1 :]
+            dets = decode_detections(probs, locs, self._anchors, self.detection)
+            return result, dets
+
+        self._run = _run
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw):
+        params, cfg, lid2name = load_params_from_train_checkpoint(path)
+        return cls(params, cfg, lid2name, **kw)
+
+    @classmethod
+    def from_bundle(cls, path: str, **kw):
+        params, cfg, lid2name = load_bundle(path)
+        return cls(params, cfg, lid2name, **kw)
+
+    def preprocess_files(self, files):
+        """Load + resize images like the reference's sample_generator
+        (infer.py:44-54): cv2 BGR, INTER_LINEAR to the preset size."""
+        import cv2
+
+        w, h = self.preset.image_size.w, self.preset.image_size.h
+        out = np.zeros((len(files), h, w, 3), dtype=np.uint8)
+        sizes = []
+        for i, f in enumerate(files):
+            img = cv2.imread(f)
+            if img is None:
+                raise FileNotFoundError(f)
+            sizes.append((img.shape[1], img.shape[0]))
+            out[i] = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+        return out, sizes
+
+    def run(self, images: np.ndarray):
+        """Run the fused forward+decode. ``images``: (B,H,W,3) uint8 BGR.
+
+        Returns (raw result array (B,A,K+5), Detections).
+        """
+        result, dets = self._run(self.params, jnp.asarray(images))
+        return result, dets
+
+    def detect_boxes(self, images: np.ndarray):
+        """Detections as host lists of (conf, Box) with label names."""
+        _, dets = self.run(images)
+        return detections_to_boxes(dets, self.lid2name)

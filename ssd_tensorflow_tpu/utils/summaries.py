@@ -48,10 +48,10 @@ class ImageSummary:
         except ImportError:
             return
         for i, (img, boxes) in enumerate(samples[:3]):
-            img = cv2.resize(np.asarray(img, dtype=np.float32), (512, 512))
+            img = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+            img = cv2.resize(img, (512, 512))
             for _, box in boxes:
                 draw_box(img, box, self.colors.get(box.label, (0, 255, 0)))
-            img = np.clip(img, 0, 255).astype(np.uint8)
             rgb = img[..., ::-1]
             self.writer.add_image(f"{self.sample_name}_img/{i}", rgb, epoch)
 

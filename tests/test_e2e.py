@@ -1,0 +1,167 @@
+"""End-to-end slice: process_dataset -> train -> infer -> export -> detect.
+
+Runs the five CLI drivers in-process on a tiny synthetic dataset (CPU),
+verifying the full artifact chain: JSON/pkl training data, npz
+checkpoints, mAP computation, inference bundle, standalone detection.
+"""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from ssd_tensorflow_tpu.presets import get_preset_by_name, preset_to_dict
+from ssd_tensorflow_tpu.types import Box, Point, Sample, Size
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """A synthetic 'VOC-like' prepared dataset: bright squares on dark
+    backgrounds, one class."""
+    root = tmp_path_factory.mktemp("e2e")
+    img_dir = root / "images"
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(12):
+        img = rng.integers(0, 40, (160, 160, 3), dtype=np.uint8)
+        # a bright square at a random position
+        cx, cy, s = rng.uniform(0.3, 0.7), rng.uniform(0.3, 0.7), 0.3
+        x0, y0 = int((cx - s / 2) * 160), int((cy - s / 2) * 160)
+        x1, y1 = int((cx + s / 2) * 160), int((cy + s / 2) * 160)
+        img[y0:y1, x0:x1] = (200, 220, 240)
+        path = str(img_dir / f"img{i:03d}.jpg")
+        cv2.imwrite(path, img)
+        samples.append(
+            Sample(
+                path,
+                [Box("square", 0, Point(cx, cy), Size(s, s))],
+                Size(160, 160),
+            )
+        )
+
+    data_dir = root / "data"
+    os.makedirs(data_dir)
+    preset = get_preset_by_name("vgg300")
+    with open(data_dir / "train-samples.pkl", "wb") as f:
+        pickle.dump(samples[:8], f)
+    with open(data_dir / "valid-samples.pkl", "wb") as f:
+        pickle.dump(samples[8:], f)
+    with open(data_dir / "training-data.json", "w") as f:
+        json.dump(
+            {
+                "preset": preset_to_dict(preset),
+                "num-classes": 1,
+                "colors": {"square": [0, 0, 255]},
+                "lid2name": {"0": "square"},
+                "lname2id": {"square": 0},
+                "augmentation": {"sampler_trials": 3, "expand_probability": 0.3},
+            },
+            f,
+        )
+    return root, str(data_dir), samples
+
+
+@pytest.mark.e2e
+def test_full_pipeline(dataset, tmp_path):
+    root, data_dir, samples = dataset
+    name = str(tmp_path / "proj")
+    tb_dir = str(tmp_path / "tb")
+
+    # ---- train 2 epochs ------------------------------------------------
+    from ssd_tensorflow_tpu.cli.train import main as train_main
+
+    rc = train_main(
+        [
+            "--name", name,
+            "--data-dir", data_dir,
+            "--epochs", "2",
+            "--batch-size", "4",
+            "--tensorboard-dir", tb_dir,
+            "--checkpoint-interval", "1",
+            "--num-workers", "0",
+            "--compute-dtype", "float32",
+            "--lr-values", "0.0001;0.00001",
+            "--lr-boundaries", "100",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(name, "e1.ckpt.npz"))
+    assert os.path.exists(os.path.join(name, "final.ckpt.npz"))
+    assert os.listdir(tb_dir)
+
+    # ---- resume for 1 more epoch ---------------------------------------
+    rc = train_main(
+        [
+            "--name", name,
+            "--data-dir", data_dir,
+            "--epochs", "3",
+            "--batch-size", "4",
+            "--tensorboard-dir", tb_dir,
+            "--checkpoint-interval", "1",
+            "--num-workers", "0",
+            "--compute-dtype", "float32",
+            "--continue-training", "yes",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(name, "e3.ckpt.npz"))
+
+    # ---- infer over explicit files --------------------------------------
+    from ssd_tensorflow_tpu.cli.infer import main as infer_main
+
+    out_dir = str(tmp_path / "infer-out")
+    files = [s.filename for s in samples[8:]]
+    rc = infer_main(
+        [
+            *files,
+            "--name", name,
+            "--training-data", os.path.join(data_dir, "training-data.json"),
+            "--output-dir", out_dir,
+            "--annotate", "yes",
+            "--dump-predictions", "yes",
+            "--batch-size", "4",
+            "--threshold", "0.01",
+            "--compute-stats", "no",
+        ]
+    )
+    assert rc == 0
+    dumped = [f for f in os.listdir(out_dir) if f.endswith(".npy")]
+    assert len(dumped) == len(files)
+    pred = np.load(os.path.join(out_dir, dumped[0]))
+    assert pred.shape == (8732, 1 + 1 + 4)  # (A, K+5) with K=1
+
+    # ---- export ----------------------------------------------------------
+    from ssd_tensorflow_tpu.cli.export_model import main as export_main
+
+    bundle = str(tmp_path / "model.ssdtpu.npz")
+    rc = export_main(
+        [
+            "--checkpoint-file", os.path.join(name, "final.ckpt.npz"),
+            "--output-file", bundle,
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(bundle)
+
+    # ---- detect standalone ----------------------------------------------
+    from ssd_tensorflow_tpu.cli.detect import main as detect_main
+
+    det_dir = str(tmp_path / "detect-out")
+    rc = detect_main(
+        [
+            files[0],
+            "--model", bundle,
+            "--output-dir", det_dir,
+            "--batch-size", "2",
+            "--threshold", "0.01",
+        ]
+    )
+    assert rc == 0
+    base = os.path.basename(files[0])
+    assert os.path.exists(os.path.join(det_dir, base))
+    assert os.path.exists(os.path.join(det_dir, base + ".txt"))
