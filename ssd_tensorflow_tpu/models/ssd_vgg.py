@@ -144,6 +144,7 @@ def apply_model(
     config: ModelConfig,
     *,
     preprocessed: bool = False,
+    inference: bool = False,
 ):
     """Forward pass.
 
@@ -152,6 +153,8 @@ def apply_model(
       images: ``(B, H, W, 3)`` BGR images (raw 0-255 range unless
         ``preprocessed``).
       config: static model config.
+      inference: enables the faster f32-accumulate conv path, which is
+        not differentiable — set only when no grad flows through.
 
     Returns:
       ``(logits, locs)``: ``(B, A, K+1)`` float32 class logits and
@@ -161,7 +164,9 @@ def apply_model(
     x = images if preprocessed else preprocess(images, config)
     x = x.astype(jnp.dtype(config.compute_dtype))
 
-    conv4_3, x = vgg16.apply_backbone(params, x, config.a_trous)
+    conv4_3, x = vgg16.apply_backbone(
+        params, x, config.a_trous, f32_out=inference
+    )
 
     from ssd_tensorflow_tpu.models.layers import l2_normalize_scale
 
@@ -169,11 +174,11 @@ def apply_model(
 
     for name, _, _, stride, padding in _extra_layer_defs(preset.num_maps):
         if name == "conv12_1":
-            x = conv_relu(params[name], x, stride, padding)
+            x = conv_relu(params[name], x, stride, padding, f32_out=inference)
             # asymmetric zero-pad before conv12_2 (ssdvgg.py:327-330)
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
             continue
-        x = conv_relu(params[name], x, stride, padding)
+        x = conv_relu(params[name], x, stride, padding, f32_out=inference)
         if name in ("conv8_2", "conv9_2", "conv10_2", "conv11_2", "conv12_2"):
             maps.append(x)
 
@@ -183,7 +188,7 @@ def apply_model(
     outputs = []
     for i, (fmap, m) in enumerate(zip(maps, preset.maps)):
         hp = params[f"classifier{i}"]
-        y = conv2d(fmap, hp["w"], hp["b"])  # (B, h, w, ns*nv)
+        y = conv2d(fmap, hp["w"], hp["b"], f32_out=inference)  # (B,h,w,ns*nv)
         b, h, w, _ = y.shape
         assert (h, w) == (m.size.h, m.size.w), (
             f"map {i}: got {h}x{w}, preset says {m.size.h}x{m.size.w}"
@@ -202,9 +207,10 @@ def apply_model(
 def apply_result(params, images, config: ModelConfig):
     """The reference's fused inference tensor: concat(softmax, locs).
 
-    Reference: ssdvgg.py:368-372 ('result/result').
+    Reference: ssdvgg.py:368-372 ('result/result'). Inference-only:
+    uses the faster non-differentiable conv path.
     """
-    logits, locs = apply_model(params, images, config)
+    logits, locs = apply_model(params, images, config, inference=True)
     return jnp.concatenate([jax.nn.softmax(logits, axis=-1), locs], axis=-1)
 
 

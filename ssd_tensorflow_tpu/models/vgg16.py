@@ -53,7 +53,7 @@ def init_vgg_params(key, dtype=jnp.float32):
     return params
 
 
-def apply_backbone(params, x, a_trous: bool = True):
+def apply_backbone(params, x, a_trous: bool = True, f32_out: bool = False):
     """VGG-16 trunk -> (conv4_3 relu, mod_conv7 relu).
 
     Feature taps mirror the reference: conv4_3's ReLU output (pre-pool4,
@@ -62,14 +62,16 @@ def apply_backbone(params, x, a_trous: bool = True):
     """
     conv4_3 = None
     for name, _ in VGG_CONV_LAYERS:
-        x = conv_relu(params[name], x)
+        x = conv_relu(params[name], x, f32_out=f32_out)
         if name == "conv4_3":
             conv4_3 = x
         if name in _POOL_AFTER:
             x = max_pool(x, 2, 2)
     x = max_pool(x, 3, 1)  # mod_pool5
-    x = conv_relu(params["mod_conv6"], x, dilation=6 if a_trous else 1)
-    x = conv_relu(params["mod_conv7"], x)
+    x = conv_relu(
+        params["mod_conv6"], x, dilation=6 if a_trous else 1, f32_out=f32_out
+    )
+    x = conv_relu(params["mod_conv7"], x, f32_out=f32_out)
     return conv4_3, x
 
 
