@@ -115,6 +115,30 @@ def _pool_process_batch(samples):
     return [_WORKER_PROC(s) for s in samples]
 
 
+def _shm_producer(processor, seed_base, sample_queue, batch_queue, image_size, batch_size):
+    """Worker loop: augment sample chunks, publish fixed-shape batches
+    into shared memory (the reference's batch_producer,
+    training_data.py:109-134)."""
+    import queue as q
+
+    random.seed(seed_base + os.getpid())
+    np.random.seed((seed_base + os.getpid()) % 2**31)
+    try:
+        import cv2
+
+        cv2.setNumThreads(1)
+    except ImportError:
+        pass
+    while True:
+        try:
+            chunk = sample_queue.get(timeout=1)
+        except q.Empty:
+            break
+        results = [processor(s) for s in chunk]
+        batch, gt_lists, n = _collate(results, batch_size, image_size)
+        batch_queue.put(batch, aux=(gt_lists, n))
+
+
 def _collate(results, batch_size, image_size):
     """Stack per-sample results into a fixed-shape batch dict."""
     n = len(results)
@@ -171,15 +195,18 @@ class TrainingData:
 
     # -- generators -----------------------------------------------------
 
-    def train_generator(self, batch_size, num_workers=0, drop_last=True):
+    def train_generator(
+        self, batch_size, num_workers=0, drop_last=True, use_shm=True
+    ):
         return self.__generate(
-            self.train_samples, True, batch_size, num_workers, drop_last, shuffle=True
+            self.train_samples, True, batch_size, num_workers, drop_last,
+            shuffle=True, use_shm=use_shm,
         )
 
-    def valid_generator(self, batch_size, num_workers=0):
+    def valid_generator(self, batch_size, num_workers=0, use_shm=True):
         return self.__generate(
             self.valid_samples, False, batch_size, num_workers,
-            drop_last=False, shuffle=False,
+            drop_last=False, shuffle=False, use_shm=use_shm,
         )
 
     def num_train_batches(self, batch_size, drop_last=True):
@@ -191,7 +218,8 @@ class TrainingData:
         return math.ceil(self.num_valid / batch_size)
 
     def __generate(
-        self, samples, train, batch_size, num_workers, drop_last, shuffle
+        self, samples, train, batch_size, num_workers, drop_last, shuffle,
+        use_shm=True,
     ):
         processor = _SampleProcessor(
             self.preset, self.num_classes, self.augmentation, train, self.max_gt
@@ -208,7 +236,11 @@ class TrainingData:
             for off in range(0, len(order), batch_size)
         ]
 
-        if num_workers > 0:
+        if num_workers > 0 and use_shm:
+            yield from self.__generate_shm(
+                processor, chunks, batch_size, num_workers
+            )
+        elif num_workers > 0:
             import multiprocessing as mp
 
             ctx = mp.get_context("fork")
@@ -235,3 +267,60 @@ class TrainingData:
             for chunk in chunks:
                 results = [processor(s) for s in chunk]
                 yield _collate(results, batch_size, self.preset.image_size)
+
+    def __generate_shm(self, processor, chunks, batch_size, num_workers):
+        """Process workers + shared-memory batch transport (the
+        reference's parallel path, training_data.py:144-195)."""
+        import multiprocessing as mp
+
+        from ssd_tensorflow_tpu.data.shm_queue import ShmBatchQueue
+
+        ctx = mp.get_context("fork")
+        h, w = self.preset.image_size.h, self.preset.image_size.w
+        g = self.max_gt
+        specs = {
+            "images": ((batch_size, h, w, 3), np.uint8),
+            "gt_boxes": ((batch_size, g, 4), np.float32),
+            "gt_labels": ((batch_size, g), np.int32),
+            "gt_mask": ((batch_size, g), np.bool_),
+        }
+        batch_queue = ShmBatchQueue(specs, maxsize=num_workers * 5, ctx=ctx)
+        sample_queue = ctx.Queue(max(len(chunks), 1))
+        for c in chunks:
+            sample_queue.put(c)
+
+        seed = random.randint(0, 2**30)
+        try:
+            import cv2
+
+            prev_threads = cv2.getNumThreads()
+            cv2.setNumThreads(1)
+        except ImportError:
+            prev_threads = None
+        workers = [
+            ctx.Process(
+                target=_shm_producer,
+                args=(
+                    processor, seed + i, sample_queue, batch_queue,
+                    self.preset.image_size, batch_size,
+                ),
+                daemon=True,
+            )
+            for i in range(num_workers)
+        ]
+        for p in workers:
+            p.start()
+        if prev_threads is not None:
+            cv2.setNumThreads(prev_threads)
+
+        try:
+            for _ in range(len(chunks)):
+                batch, (gt_lists, n) = batch_queue.get()
+                yield batch, gt_lists, n
+            for p in workers:
+                p.join()
+        finally:
+            for p in workers:
+                if p.is_alive():
+                    p.terminate()
+            batch_queue.close()
