@@ -1,0 +1,40 @@
+"""Multi-host input feeding.
+
+Each host runs its own data pipeline over its shard of the sample list
+(the TPU-native replacement for the reference's per-process DataQueue
+feeding a single session) and contributes its local batch to one global
+``jax.Array`` sharded over the mesh's data axis. On a single host this
+degenerates to :func:`shard_batch`.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def process_shard(items, process_index=None, process_count=None):
+    """This host's contiguous shard of a global work list."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    n = len(items)
+    per = n // pc
+    extra = n % pc
+    start = pi * per + min(pi, extra)
+    end = start + per + (1 if pi < extra else 0)
+    return items[start:end]
+
+
+def make_global_batch(local_batch: dict, mesh: Mesh) -> dict:
+    """Assemble per-host batch arrays into global data-sharded arrays.
+
+    ``local_batch`` holds this process's rows; the returned arrays have
+    global shape ``(local_rows * process_count, ...)`` sharded over the
+    ``data`` axis. Works unchanged on one host.
+    """
+    sharding = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return {k: put(v) for k, v in local_batch.items()}
