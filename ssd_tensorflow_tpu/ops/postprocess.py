@@ -44,6 +44,11 @@ class DetectionConfig:
     nms_threshold: float = NMS_THRESHOLD
     #: post-NMS cap on emitted detections (infer.py:235).
     max_detections: int = 200
+    #: run NMS as the fused Pallas kernel (ops/nms_pallas.py) instead of
+    #: the XLA loop. Identical pick sets; both are latency-bound in the
+    #: greedy loop, so throughput is at parity — the kernel keeps all
+    #: intermediates in VMEM. Requires top_k to be a multiple of 128.
+    use_pallas_nms: bool = False
 
 
 @dataclasses.dataclass
@@ -61,22 +66,23 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _decode_single(probs, locs, anchors, cfg: DetectionConfig):
-    """Decode one image: ``(A, K+1)`` probs + ``(A, 4)`` locs -> Detections row."""
+def _candidates_single(probs, locs, anchors, cfg: DetectionConfig):
+    """Top-K candidate prep for one image (pre-NMS)."""
     num_fg = probs.shape[-1] - 1
     fg = probs[:, :num_fg]
     cls = jnp.argmax(fg, axis=-1)  # (A,)
     conf = jnp.max(fg, axis=-1)  # (A,)
 
     conf_top, idx = jax.lax.top_k(conf, cfg.top_k)  # sorted desc
-    cls_top = cls[idx]
+    cls_top = cls[idx].astype(jnp.int32)
     boxes = decode_locations(locs[idx], anchors[idx])
     boxes = clamp_boxes(boxes)
-
     valid = conf_top >= cfg.confidence_threshold
-    corners = box_canvas_corners(boxes)
-    keep = class_aware_keep(corners, cls_top, valid, cfg.nms_threshold)
+    return boxes, conf_top, cls_top, valid
 
+
+def _finalize_single(boxes, conf_top, cls_top, keep, cfg: DetectionConfig):
+    """Compact kept rows to the front and trim to max_detections."""
     if cfg.max_detections < cfg.top_k:
         # Compact kept detections to the front (they are already sorted
         # by confidence) and trim to max_detections.
@@ -89,7 +95,15 @@ def _decode_single(probs, locs, anchors, cfg: DetectionConfig):
         valid_o = jnp.zeros((d,), bool).at[dest].set(keep, mode="drop")
         return boxes_o, scores_o, cls_o, valid_o
 
-    return boxes, conf_top, cls_top.astype(jnp.int32), keep
+    return boxes, conf_top, cls_top, keep
+
+
+def _decode_single(probs, locs, anchors, cfg: DetectionConfig):
+    """Decode one image: ``(A, K+1)`` probs + ``(A, 4)`` locs -> Detections row."""
+    boxes, conf_top, cls_top, valid = _candidates_single(probs, locs, anchors, cfg)
+    corners = box_canvas_corners(boxes)
+    keep = class_aware_keep(corners, cls_top, valid, cfg.nms_threshold)
+    return _finalize_single(boxes, conf_top, cls_top, keep, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -106,8 +120,25 @@ def decode_detections(probs, locs, anchors, cfg: DetectionConfig = DetectionConf
       :class:`Detections` with ``D = min(top_k, max_detections)`` rows
       per image, confidence-sorted, ``valid`` marking real detections.
     """
-    f = jax.vmap(lambda p, l: _decode_single(p, l, anchors, cfg))
-    boxes, scores, classes, valid = f(probs, locs)
+    if cfg.use_pallas_nms:
+        from ssd_tensorflow_tpu.ops.nms import _CLASS_OFFSET
+        from ssd_tensorflow_tpu.ops.nms_pallas import nms_keep_pallas
+
+        cand = jax.vmap(lambda p, l: _candidates_single(p, l, anchors, cfg))
+        boxes, conf_top, cls_top, valid = cand(probs, locs)
+        corners = box_canvas_corners(boxes)
+        shifted = corners + (
+            cls_top.astype(corners.dtype) * _CLASS_OFFSET
+        )[..., None]
+        interpret = jax.default_backend() != "tpu"
+        keep = nms_keep_pallas(
+            shifted, valid, cfg.nms_threshold, interpret=interpret
+        )
+        fin = jax.vmap(lambda b, s, c, k: _finalize_single(b, s, c, k, cfg))
+        boxes, scores, classes, valid = fin(boxes, conf_top, cls_top, keep)
+    else:
+        f = jax.vmap(lambda p, l: _decode_single(p, l, anchors, cfg))
+        boxes, scores, classes, valid = f(probs, locs)
     return Detections(boxes=boxes, scores=scores, classes=classes, valid=valid)
 
 

@@ -42,6 +42,9 @@ class TrainConfig:
     detect: Optional[DetectionConfig] = DetectionConfig(
         confidence_threshold=0.5
     )
+    #: rematerialize the forward pass in the backward pass (memory for
+    #: FLOPs — lets bigger per-chip batches fit in HBM)
+    remat: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -92,7 +95,15 @@ def _loss_and_aux(params, batch, anchors, cfg: TrainConfig):
         mc.num_classes,
     )
     labels = jax.lax.stop_gradient(labels)
-    logits, locs = apply_model(params, batch["images"], mc)
+    if cfg.remat:
+        from ssd_tensorflow_tpu.parallel.remat import checkpoint_dots_only
+
+        fwd = checkpoint_dots_only(
+            lambda p, x: apply_model(p, x, mc)
+        )
+        logits, locs = fwd(params, batch["images"])
+    else:
+        logits, locs = apply_model(params, batch["images"], mc)
     losses = multibox_loss(logits, locs, labels, mc.num_classes)
     l2 = cfg.weight_decay * l2_regularizer(params)
     total = losses["confidence"] + losses["localization"] + l2

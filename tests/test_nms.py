@@ -136,3 +136,38 @@ class TestDecodeDetections:
         # decoded box == anchor 7 modulo the canvas clamp rounding
         np.testing.assert_allclose(got_box, anchors[7], atol=2e-3)
         assert np.asarray(dets.classes[0])[valid][0] == 1
+
+
+class TestPallasNMSIntegration:
+    def test_use_pallas_nms_matches_default(self):
+        from ssd_tensorflow_tpu.ops.postprocess import (
+            DetectionConfig,
+            decode_detections,
+        )
+
+        rng = np.random.default_rng(77)
+        A, K = 512, 20
+        anchors = random_boxes(rng, A, tight=True).astype(np.float32)
+        logits = rng.normal(0, 1, (2, A, K + 1)).astype(np.float32)
+        probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        locs = rng.normal(0, 0.3, (2, A, 4)).astype(np.float32)
+
+        base = decode_detections(
+            probs, locs, anchors,
+            DetectionConfig(top_k=128, confidence_threshold=0.05),
+        )
+        pallas = decode_detections(
+            probs, locs, anchors,
+            DetectionConfig(
+                top_k=128, confidence_threshold=0.05, use_pallas_nms=True
+            ),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.valid), np.asarray(pallas.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(base.boxes), np.asarray(pallas.boxes)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.classes), np.asarray(pallas.classes)
+        )

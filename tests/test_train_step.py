@@ -134,3 +134,28 @@ class TestDataParallel:
         batch = shard_batch(_batch(rng, 4), mesh)
         state, losses, _ = step(state, batch)
         assert np.isfinite(float(losses["total"]))
+
+
+class TestRemat:
+    def test_remat_matches_baseline(self, setup):
+        cfg, params, anchors = setup
+        import dataclasses
+
+        rng = np.random.default_rng(9)
+        batch = _batch(rng, 1)
+        cfg_remat = dataclasses.replace(cfg, remat=True)
+
+        s0 = make_train_state(params, cfg)
+        s1 = make_train_state(params, cfg_remat)
+        step0 = make_train_step(cfg, anchors, donate=False)
+        step1 = make_train_step(cfg_remat, anchors, donate=False)
+        s0, l0, _ = step0(s0, batch)
+        s1, l1, _ = step1(s1, batch)
+        np.testing.assert_allclose(
+            float(l0["total"]), float(l1["total"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s0.params["conv9_1"]["w"]),
+            np.asarray(s1.params["conv9_1"]["w"]),
+            rtol=1e-5, atol=1e-7,
+        )
