@@ -156,8 +156,8 @@ def main(argv=None):
     # ------------------------------------------------------------------
     # Model + train step
     # ------------------------------------------------------------------
-    lr_values = tuple(float(x) for x in args.lr_values.split(";"))
-    lr_boundaries = tuple(int(x) for x in args.lr_boundaries.split(";"))
+    lr_values = tuple(float(x) for x in args.lr_values.split(";") if x)
+    lr_boundaries = tuple(int(x) for x in args.lr_boundaries.split(";") if x)
     if len(lr_values) != len(lr_boundaries) + 1:
         print("[!] need one more lr value than boundaries")
         return 1

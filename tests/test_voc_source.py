@@ -108,3 +108,25 @@ class TestPascalVOCSource:
     def test_unknown_source_raises(self):
         with pytest.raises(ImportError):
             load_data_source("does_not_exist")
+
+
+class TestSyntheticSource:
+    def test_generate_and_contract(self, tmp_path):
+        src = load_data_source("synthetic")
+        src._counts = (8, 4, 4)  # keep the test fast
+        src.load_trainval_data(str(tmp_path), 0.1)
+        src.load_test_data(str(tmp_path))
+        assert src.num_train == 8
+        assert src.num_valid == 4
+        assert src.num_test == 4
+        s = src.train_samples[0]
+        assert os.path.exists(s.filename)
+        assert len(s.boxes) >= 1
+        b = s.boxes[0]
+        assert 0 <= b.labelid < src.num_classes
+        assert 0 < b.size.w <= 0.5 and 0 < b.size.h <= 0.5
+        # deterministic regeneration
+        src2 = load_data_source("synthetic")
+        src2._counts = (8, 4, 4)
+        src2.load_trainval_data(str(tmp_path), 0.1)
+        assert src2.train_samples[0].boxes == src.train_samples[0].boxes
