@@ -223,37 +223,42 @@ class SamplerTransform(Transform):
         else:
             source_corners = np.zeros((0, 4))
 
-        box_arr = None
-        found = False
-        for _ in range(self.max_trials):
-            scale = random.uniform(self.min_scale, self.max_scale)
-            aspect_ratio = random.uniform(
-                self.min_aspect_ratio, self.max_aspect_ratio
-            )
-            # keep width/height <= 1 (reference: transforms.py:330-331)
-            aspect_ratio = max(aspect_ratio, scale**2)
-            aspect_ratio = min(aspect_ratio, 1 / (scale**2))
-
-            width = scale * sqrt(aspect_ratio)
-            height = scale / sqrt(aspect_ratio)
-            cx = 0.5 * width + random.uniform(0, 1 - width)
-            cy = 0.5 * height + random.uniform(0, 1 - height)
-
-            box_arr = np.asarray(
-                prop2abs(Point(cx, cy), Size(width, height), gt.imgsize),
-                dtype=np.float64,
-            )
-            if source_corners.shape[0] == 0:
-                continue
-            iou = pairwise_canvas_iou_np(box_arr[None], source_corners)[0]
-            best = iou.max()
-            # compute_overlap(.., threshold=0): best requires iou > 0
-            if best > 0 and best >= self.min_jaccard_overlap:
-                found = True
-                break
-
-        if not found:
+        if source_corners.shape[0] == 0:
             return None
+
+        # All trials proposed and scored at once (the reference iterates
+        # one proposal at a time, transforms.py:321-347 — same accept
+        # rule, vectorized: first trial whose best protocol IoU against
+        # any gt passes the threshold wins).
+        t = self.max_trials
+        scale = np.random.uniform(self.min_scale, self.max_scale, t)
+        ar = np.random.uniform(self.min_aspect_ratio, self.max_aspect_ratio, t)
+        # keep width/height <= 1 (reference: transforms.py:330-331)
+        ar = np.clip(ar, scale**2, 1.0 / scale**2)
+        width = scale * np.sqrt(ar)
+        height = scale / np.sqrt(ar)
+        cx = 0.5 * width + np.random.uniform(0, 1, t) * (1 - width)
+        cy = 0.5 * height + np.random.uniform(0, 1, t) * (1 - height)
+
+        w_img, h_img = gt.imgsize.w, gt.imgsize.h
+        trial_corners = np.trunc(
+            np.stack(
+                [
+                    (cx - width / 2) * w_img,
+                    (cx + width / 2) * w_img,
+                    (cy - height / 2) * h_img,
+                    (cy + height / 2) * h_img,
+                ],
+                axis=-1,
+            )
+        )
+        iou = pairwise_canvas_iou_np(trial_corners, source_corners)  # (T, G)
+        best = iou.max(axis=1)
+        # compute_overlap(.., threshold=0): best requires iou > 0
+        ok = (best > 0) & (best >= self.min_jaccard_overlap)
+        if not ok.any():
+            return None
+        box_arr = trial_corners[int(np.argmax(ok))]
 
         xmin, xmax, ymin, ymax = (int(v) for v in box_arr)
         new_size = Size(xmax - xmin, ymax - ymin)
