@@ -41,6 +41,7 @@ from ssd_tensorflow_tpu.utils.checkpoint import (
     find_checkpoint,
     restore_checkpoint,
 )
+from ssd_tensorflow_tpu.utils.profiling import StepTimer
 from ssd_tensorflow_tpu.utils.summaries import (
     ImageSummary,
     LossSummary,
@@ -261,6 +262,8 @@ def main(argv=None):
         training_imgs_samples = []
         validation_imgs_samples = []
 
+        timer = StepTimer()
+        pending_losses = []  # device scalars; fetched once per epoch
         generator = td.train_generator(args.batch_size, args.num_workers)
         description = "[i] Train {:>2}/{}".format(e + 1, args.epochs)
         for batch, gt_lists, num_real in tqdm(
@@ -276,6 +279,7 @@ def main(argv=None):
             )
             dev_batch = shard_batch(batch, mesh)
             state, losses, dets = train_step(state, dev_batch)
+            timer.step(num_real)
 
             if args.profile_dir and not profiled and e > start_epoch:
                 jax.block_until_ready(losses["total"])
@@ -283,12 +287,9 @@ def main(argv=None):
                 profiled = True
                 print("[i] Profiler trace written to", args.profile_dir)
 
-            if math.isnan(float(losses["confidence"])):
-                print("[!] Confidence loss is NaN.")
-
-            training_loss.add(
-                _losses_for_summary(losses, args.batch_size, num_real), num_real
-            )
+            # defer the host fetch: a per-step float() sync would stall
+            # the dispatch pipeline (CLAUDE.md: honest-timing notes)
+            pending_losses.append((losses, num_real))
 
             if e == 0:
                 continue
@@ -300,6 +301,19 @@ def main(argv=None):
                 if len(training_imgs_samples) < 3 and saved_images is not None:
                     training_imgs_samples.append((saved_images[i], boxes))
 
+        for losses, num_real in jax.device_get(pending_losses):
+            if math.isnan(float(losses["confidence"])):
+                print("[!] Confidence loss is NaN.")
+            training_loss.add(
+                _losses_for_summary(losses, args.batch_size, num_real), num_real
+            )
+        steps_s, imgs_s = timer.rates()
+        print(
+            f"[i] Epoch {e + 1} train throughput: {imgs_s:.1f} img/s "
+            f"({steps_s:.2f} steps/s)"
+        )
+
+        pending_losses = []
         generator = td.valid_generator(args.batch_size, args.num_workers)
         description = "[i] Valid {:>2}/{}".format(e + 1, args.epochs)
         for batch, gt_lists, num_real in tqdm(
@@ -307,9 +321,7 @@ def main(argv=None):
         ):
             dev_batch = shard_batch(batch, mesh)
             losses, dets = eval_step(state.params, dev_batch)
-            validation_loss.add(
-                _losses_for_summary(losses, args.batch_size, num_real), num_real
-            )
+            pending_losses.append((losses, num_real))
 
             if e == 0:
                 continue
@@ -322,6 +334,11 @@ def main(argv=None):
                     validation_imgs_samples.append(
                         (np.copy(batch["images"][i]), boxes)
                     )
+
+        for losses, num_real in jax.device_get(pending_losses):
+            validation_loss.add(
+                _losses_for_summary(losses, args.batch_size, num_real), num_real
+            )
 
         # -- summaries (reference: train.py:308-331) --------------------
         training_loss.push(e + 1)
