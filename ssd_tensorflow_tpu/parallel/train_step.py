@@ -21,11 +21,7 @@ from ssd_tensorflow_tpu.models.loss import l2_regularizer, multibox_loss
 from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, apply_model
 from ssd_tensorflow_tpu.ops.matching import encode_targets_batch
 from ssd_tensorflow_tpu.ops.postprocess import DetectionConfig, decode_detections
-from ssd_tensorflow_tpu.parallel.sharding import (
-    batch_shardings,
-    param_shardings,
-    replicated,
-)
+from ssd_tensorflow_tpu.parallel.sharding import param_shardings, replicated
 
 
 @dataclasses.dataclass(frozen=True)
