@@ -140,3 +140,32 @@ class TestTensorBoard:
         assert events[1].step == 7
         assert events[1].summary.value[0].tag == "metric/x"
         assert events[1].summary.value[0].simple_value == pytest.approx(3.25)
+
+
+class TestOrbaxBackend:
+    def test_save_restore_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from ssd_tensorflow_tpu.utils.checkpoint_orbax import (
+            OrbaxCheckpointManager,
+        )
+
+        state = {
+            "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "step": np.int32(3),
+        }
+        mgr = OrbaxCheckpointManager(str(tmp_path / "ckpt"), {"x": 1}, max_to_keep=2)
+        mgr.save(1, state)
+        state2 = {
+            "params": {"w": state["params"]["w"] * 2},
+            "step": np.int32(7),
+        }
+        mgr.save(2, state2)
+        mgr.wait()
+        assert mgr.latest_epoch() == 2
+        template = jax.tree_util.tree_map(np.zeros_like, state)
+        restored = mgr.restore(template)
+        np.testing.assert_array_equal(
+            restored["params"]["w"], state2["params"]["w"]
+        )
+        assert int(restored["step"]) == 7
+        mgr.close()
