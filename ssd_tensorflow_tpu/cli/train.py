@@ -25,12 +25,12 @@ from ssd_tensorflow_tpu.models.vgg16 import load_pretrained_vgg
 from ssd_tensorflow_tpu.ops.anchors import anchors_for_preset
 from ssd_tensorflow_tpu.ops.postprocess import DetectionConfig, detections_to_boxes
 from ssd_tensorflow_tpu.parallel.mesh import make_mesh
+from ssd_tensorflow_tpu.parallel.prefetch import prefetch_to_device
 from ssd_tensorflow_tpu.parallel.train_step import (
     TrainConfig,
     make_eval_step,
     make_train_state,
     make_train_step,
-    shard_batch,
     shard_state,
 )
 from ssd_tensorflow_tpu.eval.average_precision import APCalculator, APs2mAP
@@ -216,6 +216,9 @@ def main(argv=None):
         # of available devices that does
         data_size = math.gcd(args.batch_size, len(jax.devices()))
     mesh = make_mesh(data=data_size)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
     print(f"[i] Mesh: {dict(mesh.shape)} over {len(mesh.devices.ravel())} device(s)")
     state = shard_state(state, mesh)
 
@@ -264,20 +267,25 @@ def main(argv=None):
 
         timer = StepTimer()
         pending_losses = []  # device scalars; fetched once per epoch
-        generator = td.train_generator(args.batch_size, args.num_workers)
+        # producer thread overlaps augmentation + H2D with device compute
+        generator = prefetch_to_device(
+            td.train_generator(args.batch_size, args.num_workers),
+            size=2,
+            sharding=batch_sharding,
+            transform=lambda item: (item[0], (item[1], item[2])),
+        )
         description = "[i] Train {:>2}/{}".format(e + 1, args.epochs)
-        for batch, gt_lists, num_real in tqdm(
+        for dev_batch, (gt_lists, num_real) in tqdm(
             generator, total=n_train_batches, desc=description, unit="batches"
         ):
             if args.profile_dir and not profiled and e > start_epoch:
                 jax.profiler.start_trace(args.profile_dir)
 
             saved_images = (
-                np.copy(batch["images"][:3])
+                np.asarray(dev_batch["images"][:3])
                 if len(training_imgs_samples) < 3
                 else None
             )
-            dev_batch = shard_batch(batch, mesh)
             state, losses, dets = train_step(state, dev_batch)
             timer.step(num_real)
 
@@ -314,12 +322,16 @@ def main(argv=None):
         )
 
         pending_losses = []
-        generator = td.valid_generator(args.batch_size, args.num_workers)
+        generator = prefetch_to_device(
+            td.valid_generator(args.batch_size, args.num_workers),
+            size=2,
+            sharding=batch_sharding,
+            transform=lambda item: (item[0], (item[1], item[2])),
+        )
         description = "[i] Valid {:>2}/{}".format(e + 1, args.epochs)
-        for batch, gt_lists, num_real in tqdm(
+        for dev_batch, (gt_lists, num_real) in tqdm(
             generator, total=n_valid_batches, desc=description, unit="batches"
         ):
-            dev_batch = shard_batch(batch, mesh)
             losses, dets = eval_step(state.params, dev_batch)
             pending_losses.append((losses, num_real))
 
@@ -332,7 +344,7 @@ def main(argv=None):
                 validation_ap_calc.add_detections(gt_lists[i], boxes)
                 if len(validation_imgs_samples) < 3:
                     validation_imgs_samples.append(
-                        (np.copy(batch["images"][i]), boxes)
+                        (np.asarray(dev_batch["images"][i]), boxes)
                     )
 
         for losses, num_real in jax.device_get(pending_losses):
