@@ -1,0 +1,185 @@
+"""int8 (W8A8) quantized inference path.
+
+The v5e MXU runs int8 at ~1.5x the measured bf16 conv throughput, so the
+deploy path offers a quantized forward: symmetric per-output-channel
+int8 weights, static per-layer activation scales from a calibration
+pass, int32 accumulation, float bias/requant. Training stays bf16/f32 —
+this is a post-training deployment transform of a checkpoint, the
+quantized analog of the reference's frozen-graph export
+(export_model.py:62-72).
+
+Layers quantized: every conv (backbone, a-trous conv6/7, extras,
+multibox heads). The conv4_3 L2-normalization runs in float between
+quantized convs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax import lax
+
+from ssd_tensorflow_tpu.models import vgg16
+from ssd_tensorflow_tpu.models.layers import l2_normalize_scale, max_pool
+from ssd_tensorflow_tpu.models.ssd_vgg import (
+    ModelConfig,
+    _extra_layer_defs,
+    preprocess,
+)
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def quantize_weights(params) -> Dict:
+    """Symmetric per-output-channel int8 quantization of every conv."""
+    q = {}
+    for name, leaf in params.items():
+        if isinstance(leaf, dict) and "w" in leaf:
+            w = np.asarray(leaf["w"], dtype=np.float32)
+            scale = np.abs(w).max(axis=(0, 1, 2)) / 127.0  # (cout,)
+            scale = np.maximum(scale, 1e-12)
+            wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+            q[name] = {
+                "wq": jnp.asarray(wq),
+                "w_scale": jnp.asarray(scale),
+                "b": jnp.asarray(np.asarray(leaf["b"], np.float32)),
+            }
+        else:
+            q[name] = jax.tree_util.tree_map(jnp.asarray, leaf)
+    return q
+
+
+def _qconv(qp, x, act_scale, stride=1, padding="SAME", dilation=1, relu=True):
+    """Quantize x with the static act_scale, int8 conv, requantize out."""
+    inv = 1.0 / act_scale
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(
+        jnp.int8
+    )
+    y = lax.conv_general_dilated(
+        xq,
+        qp["wq"],
+        (stride, stride),
+        padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (act_scale * qp["w_scale"]) + qp["b"]
+    if relu:
+        y = jax.nn.relu(y)
+    return y.astype(jnp.bfloat16)
+
+
+_POOL_AFTER = {"conv1_2", "conv2_2", "conv3_3", "conv4_3"}
+
+
+def _forward(qparams, act_scales, images, config: ModelConfig):
+    """Quantized forward -> (B, A, K+5) result tensor (softmax'd)."""
+    preset = config.preset
+    x = preprocess(images, config).astype(jnp.bfloat16)
+
+    conv4_3 = None
+    for name, _ in vgg16.VGG_CONV_LAYERS:
+        x = _qconv(qparams[name], x, act_scales[name])
+        if name == "conv4_3":
+            conv4_3 = x
+        if name in _POOL_AFTER:
+            x = max_pool(x, 2, 2)
+    x = max_pool(x, 3, 1)
+    x = _qconv(qparams["mod_conv6"], x, act_scales["mod_conv6"], dilation=6)
+    x = _qconv(qparams["mod_conv7"], x, act_scales["mod_conv7"])
+
+    maps = [
+        l2_normalize_scale(conv4_3, qparams["l2_norm_conv4_3"]["scale"]),
+        x,
+    ]
+    for name, _, _, stride, padding in _extra_layer_defs(preset.num_maps):
+        if name == "conv12_1":
+            x = _qconv(qparams[name], x, act_scales[name], stride, padding)
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            continue
+        x = _qconv(qparams[name], x, act_scales[name], stride, padding)
+        if name in ("conv8_2", "conv9_2", "conv10_2", "conv11_2", "conv12_2"):
+            maps.append(x)
+
+    nv = config.num_vars
+    outs = []
+    for i, (fmap, m) in enumerate(zip(maps, preset.maps)):
+        name = f"classifier{i}"
+        y = _qconv(qparams[name], fmap, act_scales[name], relu=False)
+        b, h, w, _ = y.shape
+        y = y.astype(jnp.float32).reshape(b, h * w, m.num_shapes, nv)
+        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, m.num_shapes * h * w, nv)
+        outs.append(y)
+    out = jnp.concatenate(outs, axis=1)
+    logits = out[:, :, : config.num_classes + 1]
+    locs = out[:, :, config.num_classes + 1 :]
+    return jnp.concatenate([jax.nn.softmax(logits, -1), locs], axis=-1)
+
+
+def calibrate_activation_scales(params, images, config: ModelConfig) -> Dict:
+    """One float forward over a calibration batch recording each conv
+    input's max-abs -> static symmetric activation scales."""
+    from ssd_tensorflow_tpu.models.layers import conv_relu, conv2d
+
+    scales = {}
+    preset = config.preset
+    x = preprocess(images, config).astype(jnp.float32)
+
+    def record(name, x):
+        scales[name] = float(jnp.max(jnp.abs(x))) / 127.0 + 1e-12
+
+    conv4_3 = None
+    for name, _ in vgg16.VGG_CONV_LAYERS:
+        record(name, x)
+        x = conv_relu(params[name], x)
+        if name == "conv4_3":
+            conv4_3 = x
+        if name in _POOL_AFTER:
+            x = max_pool(x, 2, 2)
+    x = max_pool(x, 3, 1)
+    record("mod_conv6", x)
+    x = conv_relu(params["mod_conv6"], x, dilation=6)
+    record("mod_conv7", x)
+    x = conv_relu(params["mod_conv7"], x)
+
+    maps = [
+        l2_normalize_scale(conv4_3, params["l2_norm_conv4_3"]["scale"]),
+        x,
+    ]
+    for name, _, _, stride, padding in _extra_layer_defs(preset.num_maps):
+        record(name, x)
+        x = conv_relu(params[name], x, stride, padding)
+        if name == "conv12_1":
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            continue
+        if name in ("conv8_2", "conv9_2", "conv10_2", "conv11_2", "conv12_2"):
+            maps.append(x)
+
+    for i, fmap in enumerate(maps):
+        record(f"classifier{i}", fmap)
+    return scales
+
+
+class QuantizedModel:
+    """Post-training-quantized deployable model."""
+
+    def __init__(self, params, config: ModelConfig, calibration_images):
+        self.config = config
+        self.qparams = quantize_weights(params)
+        self.act_scales = calibrate_activation_scales(
+            params, calibration_images, config
+        )
+
+        def fwd(qp, images):
+            return _forward(qp, self.act_scales, images, config)
+
+        self._fwd = jax.jit(fwd)
+
+    def result(self, images):
+        """(B, A, K+5) fused result tensor, like apply_result."""
+        return self._fwd(self.qparams, images)

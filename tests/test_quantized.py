@@ -1,0 +1,70 @@
+"""Quantized inference path: numerical fidelity vs the float model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tensorflow_tpu.models.quantized import (
+    QuantizedModel,
+    quantize_weights,
+)
+from ssd_tensorflow_tpu.models.ssd_vgg import (
+    ModelConfig,
+    apply_result,
+    init_params,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(
+        preset_name="vgg300", num_classes=3, compute_dtype="float32"
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (1, 300, 300, 3), dtype=np.uint8)
+    return cfg, params, images
+
+
+class TestQuantizeWeights:
+    def test_roundtrip_error_bounded(self, setup):
+        _, params, _ = setup
+        q = quantize_weights(params)
+        w = np.asarray(params["conv1_1"]["w"], np.float32)
+        wq = np.asarray(q["conv1_1"]["wq"], np.float32)
+        s = np.asarray(q["conv1_1"]["w_scale"])
+        recon = wq * s
+        # max error bounded by half a quantization step per channel
+        err = np.abs(recon - w)
+        assert (err <= s / 2 + 1e-7).all()
+        assert q["conv1_1"]["wq"].dtype == jnp.int8
+
+    def test_non_conv_leaves_passthrough(self, setup):
+        _, params, _ = setup
+        q = quantize_weights(params)
+        np.testing.assert_array_equal(
+            np.asarray(q["l2_norm_conv4_3"]["scale"]),
+            np.asarray(params["l2_norm_conv4_3"]["scale"]),
+        )
+
+
+class TestQuantizedForward:
+    def test_close_to_float_model(self, setup):
+        cfg, params, images = setup
+        qm = QuantizedModel(params, cfg, images)
+        got = np.asarray(qm.result(jnp.asarray(images)))
+        want = np.asarray(apply_result(params, jnp.asarray(images), cfg))
+        assert got.shape == want.shape
+
+        # class probabilities: argmax agreement on the overwhelming
+        # majority of anchors + close probability values
+        agree = (got[..., :4].argmax(-1) == want[..., :4].argmax(-1)).mean()
+        assert agree > 0.98, f"class argmax agreement {agree}"
+        prob_err = np.abs(got[..., :4] - want[..., :4]).mean()
+        assert prob_err < 0.02, f"probability MAE {prob_err}"
+        # locations: the decode clamp region is [-100, 100]; errors of a
+        # few tenths do not move boxes materially (x10/x5 variances)
+        loc_err = np.abs(got[..., 4:] - want[..., 4:]).mean()
+        assert loc_err < 0.5, f"location MAE {loc_err}"
