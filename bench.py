@@ -28,6 +28,10 @@ def main():
     parser.add_argument("--iters", type=int, default=10, help="chained iterations per timing")
     parser.add_argument("--repeats", type=int, default=3, help="timings; best is reported")
     parser.add_argument("--compute-dtype", default="bfloat16")
+    parser.add_argument(
+        "--quantized", action="store_true",
+        help="run the int8 W8A8 deploy path (models/quantized.py)",
+    )
     parser.add_argument("--mode", default="inference", choices=["inference", "train"])
     args = parser.parse_args()
 
@@ -64,11 +68,34 @@ def main():
     )
 
     if args.mode == "inference":
+        if args.quantized:
+            from ssd_tensorflow_tpu.models.quantized import (
+                QuantizedModel,
+                _forward,
+            )
 
-        def one_step(p, x):
-            r = apply_result(p, x, config)
-            d = decode_detections(r[..., : K + 1], r[..., K + 1 :], anchors, det_cfg)
-            return d.scores.sum()
+            calib = jnp.asarray(
+                rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8)
+            )
+            qm = QuantizedModel(params, config, calib)
+            params = qm.qparams
+            scales = qm.act_scales
+
+            def one_step(p, x):
+                r = _forward(p, scales, x, config)
+                d = decode_detections(
+                    r[..., : K + 1], r[..., K + 1 :], anchors, det_cfg
+                )
+                return d.scores.sum()
+
+        else:
+
+            def one_step(p, x):
+                r = apply_result(p, x, config)
+                d = decode_detections(
+                    r[..., : K + 1], r[..., K + 1 :], anchors, det_cfg
+                )
+                return d.scores.sum()
 
         def chained(p, x):
             def body(i, acc):
@@ -83,7 +110,8 @@ def main():
             t0 = time.perf_counter()
             float(fn(params, images))
             best = min(best, (time.perf_counter() - t0) / args.iters)
-        metric = f"{args.preset}_batch{args.batch_size}_fused_nms_inference"
+        kind = "int8_" if args.quantized else ""
+        metric = f"{args.preset}_batch{args.batch_size}_{kind}fused_nms_inference"
         baseline = 1000.0
     else:
         from ssd_tensorflow_tpu.parallel.train_step import (

@@ -28,6 +28,14 @@ def build_parser():
         "--output-file", default="model.ssdtpu.npz", help="output bundle file"
     )
     parser.add_argument(
+        "--quantize", action="store_true",
+        help="export an int8 W8A8 deploy bundle (models/quantized.py)",
+    )
+    parser.add_argument(
+        "--calibration-images", nargs="*", default=None,
+        help="images used to calibrate int8 activation scales",
+    )
+    parser.add_argument(
         "--stablehlo",
         default=None,
         help="also export a serialized StableHLO program to this path",
@@ -48,8 +56,36 @@ def main(argv=None):
     params, model_cfg, lid2name = load_params_from_train_checkpoint(
         args.checkpoint_file
     )
-    save_bundle(args.output_file, params, model_cfg, lid2name)
-    print("[i] Bundle written:", args.output_file)
+
+    if args.quantize:
+        import numpy as np
+
+        from ssd_tensorflow_tpu.models.quantized import QuantizedModel
+
+        h, w = model_cfg.preset.image_size.h, model_cfg.preset.image_size.w
+        if args.calibration_images:
+            import cv2
+
+            calib = np.zeros(
+                (len(args.calibration_images), h, w, 3), dtype=np.uint8
+            )
+            for i, f in enumerate(args.calibration_images):
+                img = cv2.imread(f)
+                calib[i] = cv2.resize(img, (w, h))
+        else:
+            print("[!] no calibration images given; using random noise")
+            calib = np.random.default_rng(0).integers(
+                0, 255, (2, h, w, 3), dtype=np.uint8
+            )
+        qm = QuantizedModel(params, model_cfg, calib)
+        save_bundle(
+            args.output_file, qm.qparams, model_cfg, lid2name,
+            act_scales=qm.act_scales,
+        )
+        print("[i] int8 bundle written:", args.output_file)
+    else:
+        save_bundle(args.output_file, params, model_cfg, lid2name)
+        print("[i] Bundle written:", args.output_file)
 
     if args.stablehlo:
         import jax

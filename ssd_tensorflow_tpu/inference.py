@@ -58,8 +58,19 @@ def load_params_from_train_checkpoint(path: str):
     return state.params, model_cfg, lid2name
 
 
-def save_bundle(path: str, params, model_cfg: ModelConfig, lid2name=None):
-    """Write the standalone inference bundle."""
+def save_bundle(
+    path: str,
+    params,
+    model_cfg: ModelConfig,
+    lid2name=None,
+    act_scales: dict | None = None,
+):
+    """Write the standalone inference bundle.
+
+    With ``act_scales`` given, ``params`` must be the quantized param
+    pytree from models/quantized.py and the bundle becomes an int8
+    deploy artifact.
+    """
     leaves, _ = jax.tree_util.tree_flatten(params)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     meta = {
@@ -71,31 +82,50 @@ def save_bundle(path: str, params, model_cfg: ModelConfig, lid2name=None):
             "mean_bgr": list(model_cfg.mean_bgr),
         },
         "lid2name": {str(k): v for k, v in (lid2name or {}).items()},
-        "format": "ssd_tensorflow_tpu.bundle.v1",
+        "format": (
+            "ssd_tensorflow_tpu.bundle.int8.v1"
+            if act_scales is not None
+            else "ssd_tensorflow_tpu.bundle.v1"
+        ),
     }
+    if act_scales is not None:
+        meta["act_scales"] = {k: float(v) for k, v in act_scales.items()}
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     with open(path, "wb") as f:
         np.savez(f, **arrays)
 
 
 def load_bundle(path: str):
-    """Load (params, model config, lid2name) from an inference bundle."""
+    """Load (params, model config, lid2name[, act_scales]) from a bundle.
+
+    Returns a 4-tuple; ``act_scales`` is None for float bundles.
+    """
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]))
         model_cfg = model_config_from_dict(meta["model"])
-        template = init_params(jax.random.PRNGKey(0), model_cfg)
+        quantized = meta.get("format", "").endswith("int8.v1")
+        if quantized:
+            from ssd_tensorflow_tpu.models.quantized import quantize_weights
+
+            template = quantize_weights(
+                init_params(jax.random.PRNGKey(0), model_cfg)
+            )
+        else:
+            template = init_params(jax.random.PRNGKey(0), model_cfg)
         leaves, treedef = jax.tree_util.tree_flatten(template)
         loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
         params = jax.tree_util.tree_unflatten(treedef, loaded)
         lid2name = {int(k): v for k, v in meta.get("lid2name", {}).items()}
-    return params, model_cfg, lid2name
+        act_scales = meta.get("act_scales") if quantized else None
+    return params, model_cfg, lid2name, act_scales
 
 
 class InferenceModel:
     """Jitted end-to-end detector: uint8 BGR batch -> detections."""
 
     def __init__(self, params, model_cfg: ModelConfig, lid2name=None,
-                 detection: DetectionConfig | None = None):
+                 detection: DetectionConfig | None = None,
+                 act_scales: dict | None = None):
         self.params = jax.device_put(params)
         self.config = model_cfg
         self.preset = model_cfg.preset
@@ -103,11 +133,23 @@ class InferenceModel:
         self.detection = detection or DetectionConfig(
             top_k=200, confidence_threshold=0.01
         )
+        self.act_scales = act_scales
         self._anchors = jnp.asarray(anchors_for_preset(self.preset))
+
+        if act_scales is not None:
+            from ssd_tensorflow_tpu.models.quantized import _forward
+
+            def fwd(params, images):
+                return _forward(params, act_scales, images, model_cfg)
+
+        else:
+
+            def fwd(params, images):
+                return apply_result(params, images, model_cfg)
 
         @partial(jax.jit, static_argnames=())
         def _run(params, images):
-            result = apply_result(params, images, model_cfg)
+            result = fwd(params, images)
             probs = result[..., : model_cfg.num_classes + 1]
             locs = result[..., model_cfg.num_classes + 1 :]
             dets = decode_detections(probs, locs, self._anchors, self.detection)
@@ -122,8 +164,8 @@ class InferenceModel:
 
     @classmethod
     def from_bundle(cls, path: str, **kw):
-        params, cfg, lid2name = load_bundle(path)
-        return cls(params, cfg, lid2name, **kw)
+        params, cfg, lid2name, act_scales = load_bundle(path)
+        return cls(params, cfg, lid2name, act_scales=act_scales, **kw)
 
     def preprocess_files(self, files):
         """Load + resize images like the reference's sample_generator

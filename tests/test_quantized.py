@@ -68,3 +68,29 @@ class TestQuantizedForward:
         # few tenths do not move boxes materially (x10/x5 variances)
         loc_err = np.abs(got[..., 4:] - want[..., 4:]).mean()
         assert loc_err < 0.5, f"location MAE {loc_err}"
+
+
+class TestQuantizedBundle:
+    def test_export_and_load_roundtrip(self, setup, tmp_path):
+        cfg, params, images = setup
+        from ssd_tensorflow_tpu.inference import (
+            InferenceModel,
+            load_bundle,
+            save_bundle,
+        )
+        from ssd_tensorflow_tpu.models.quantized import QuantizedModel
+
+        qm = QuantizedModel(params, cfg, images)
+        path = str(tmp_path / "model.int8.npz")
+        save_bundle(path, qm.qparams, cfg, {0: "a"}, act_scales=qm.act_scales)
+        p2, cfg2, lid2name, scales2 = load_bundle(path)
+        assert scales2 is not None
+        assert lid2name == {0: "a"}
+        np.testing.assert_array_equal(
+            np.asarray(p2["conv1_1"]["wq"]), np.asarray(qm.qparams["conv1_1"]["wq"])
+        )
+
+        model = InferenceModel.from_bundle(path)
+        got = np.asarray(model.run(jnp.asarray(images))[0])
+        want = np.asarray(qm.result(jnp.asarray(images)))
+        np.testing.assert_allclose(got, want, atol=1e-3)
