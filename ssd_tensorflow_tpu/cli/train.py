@@ -37,7 +37,6 @@ from ssd_tensorflow_tpu.eval.average_precision import APCalculator, APs2mAP
 from ssd_tensorflow_tpu.types import str2bool
 from ssd_tensorflow_tpu.utils.checkpoint import (
     CheckpointManager,
-    checkpoint_config,
     find_checkpoint,
     restore_checkpoint,
 )

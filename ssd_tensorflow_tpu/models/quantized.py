@@ -124,7 +124,7 @@ def _forward(qparams, act_scales, images, config: ModelConfig):
 def calibrate_activation_scales(params, images, config: ModelConfig) -> Dict:
     """One float forward over a calibration batch recording each conv
     input's max-abs -> static symmetric activation scales."""
-    from ssd_tensorflow_tpu.models.layers import conv_relu, conv2d
+    from ssd_tensorflow_tpu.models.layers import conv_relu
 
     scales = {}
     preset = config.preset
