@@ -1,0 +1,24 @@
+# Convenience targets. Tests force the CPU backend internally.
+
+.PHONY: test test-fast bench bench-int8 bench-train lint e2e
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q --ignore=tests/test_e2e.py --ignore=tests/test_quantized.py
+
+e2e:
+	python -m pytest tests/test_e2e.py -q
+
+bench:
+	python bench.py
+
+bench-int8:
+	python bench.py --quantized
+
+bench-train:
+	python bench.py --mode train --batch-size 32
+
+lint:
+	python -m compileall -q ssd_tensorflow_tpu tests tools

@@ -100,6 +100,10 @@ def build_parser():
         "--profile-dir", default=None,
         help="write a jax profiler trace of a few steps to this directory",
     )
+    parser.add_argument(
+        "--profiler-port", type=int, default=0,
+        help="start a jax.profiler server on this port (0 = off)",
+    )
     return parser
 
 
@@ -193,6 +197,11 @@ def main(argv=None):
         },
         "lid2name": {str(k): v for k, v in td.lid2name.items()},
     }
+
+    if args.profiler_port:
+        # live trace server — connect TensorBoard's profiler to it
+        jax.profiler.start_server(args.profiler_port)
+        print(f"[i] jax.profiler server on port {args.profiler_port}")
 
     print("[i] Creating the model...")
     params = init_params(jax.random.PRNGKey(0), model_cfg)

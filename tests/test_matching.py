@@ -150,3 +150,43 @@ class TestHasPositiveAnchor:
         # Empty gt set -> no positives.
         empty = np.zeros((0, 4), dtype=np.float32)
         assert not has_positive_anchor(empty, None, anchors)
+
+
+class TestMatchingEdgeCases:
+    def test_duplicate_gt_boxes(self):
+        """Two identical gt boxes: exact tie everywhere. Earliest gt wins
+        pass 1; pass 2's strictly-greater rule keeps the earliest too."""
+        anchors = np.array(
+            [[0.5, 0.5, 0.2, 0.2], [0.1, 0.1, 0.05, 0.05]], dtype=np.float32
+        )
+        gt = np.array(
+            [[0.5, 0.5, 0.2, 0.2], [0.5, 0.5, 0.2, 0.2]], dtype=np.float32
+        )
+        mask = np.ones(2, dtype=bool)
+        iou = canvas_iou_np(gt, anchors).astype(np.float32)
+        assign, pos = match_anchors(iou, mask)
+        ref_assign, ref_pos = match_anchors_sequential(iou, mask)
+        np.testing.assert_array_equal(np.asarray(pos), ref_pos)
+        np.testing.assert_array_equal(
+            np.asarray(assign)[ref_pos], ref_assign[ref_pos]
+        )
+        assert np.asarray(assign)[0] == 0  # earliest gt
+
+    def test_single_anchor_many_gts(self):
+        """More gts than anchors — every valid gt claims the one anchor."""
+        iou = np.array([[0.6], [0.9], [0.7]], dtype=np.float32)
+        mask = np.ones(3, dtype=bool)
+        assign, pos = match_anchors(iou, mask)
+        # highest IoU gt (index 1) wins the only anchor
+        assert np.asarray(pos)[0]
+        assert np.asarray(assign)[0] == 1
+
+    def test_encode_with_zero_valid_gt(self):
+        anchors = np.array([[0.5, 0.5, 0.2, 0.2]], dtype=np.float32)
+        gt = np.zeros((3, 4), dtype=np.float32)
+        labels = np.zeros(3, dtype=np.int32)
+        mask = np.zeros(3, dtype=bool)
+        vec = np.asarray(encode_targets(gt, labels, mask, anchors, 5))
+        assert vec[0, 5] == 1.0  # background
+        np.testing.assert_array_equal(vec[0, 6:], 0.0)
+        assert np.isfinite(vec).all()
