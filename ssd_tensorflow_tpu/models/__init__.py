@@ -8,9 +8,20 @@ from ssd_tensorflow_tpu.models.ssd_vgg import (
     init_params,
 )
 
+
+def __getattr__(name):
+    # lazy: quantized pulls in extra machinery only deploy paths need
+    if name == "QuantizedModel":
+        from ssd_tensorflow_tpu.models.quantized import QuantizedModel
+
+        return QuantizedModel
+    raise AttributeError(name)
+
+
 __all__ = [
     "ModelConfig",
     "SSDVGG",
+    "QuantizedModel",
     "apply_model",
     "init_params",
     "multibox_loss",

@@ -169,3 +169,39 @@ class TestOrbaxBackend:
         )
         assert int(restored["step"]) == 7
         mgr.close()
+
+
+class TestTensorBoardFullParse:
+    def test_histogram_and_image_parse(self, tmp_path):
+        """Histogram and image events must parse with the real TB protos."""
+        try:
+            from tensorboard.backend.event_processing.event_file_loader import (
+                RawEventFileLoader,
+            )
+            from tensorboard.compat.proto import event_pb2
+        except ImportError:
+            pytest.skip("tensorboard not installed")
+        w = SummaryWriter(str(tmp_path))
+        values = np.random.default_rng(0).normal(size=500)
+        w.add_histogram("h/w1", values, 3)
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[2:6, 2:6] = 255
+        w.add_image("img/x", img, 4)
+        w.flush()
+        fname = os.path.join(tmp_path, os.listdir(tmp_path)[0])
+        events = []
+        for raw in RawEventFileLoader(fname).Load():
+            ev = event_pb2.Event()
+            ev.ParseFromString(raw)
+            events.append(ev)
+        hist = events[1].summary.value[0]
+        assert hist.tag == "h/w1"
+        assert hist.histo.num == 500
+        assert hist.histo.min == pytest.approx(values.min())
+        assert hist.histo.max == pytest.approx(values.max())
+        assert abs(hist.histo.sum - values.sum()) < 1e-6
+        imgv = events[2].summary.value[0]
+        assert imgv.tag == "img/x"
+        assert imgv.image.height == 8
+        assert imgv.image.width == 8
+        assert imgv.image.encoded_image_string.startswith(b"\x89PNG")
