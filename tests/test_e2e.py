@@ -165,3 +165,35 @@ def test_full_pipeline(dataset, tmp_path):
     base = os.path.basename(files[0])
     assert os.path.exists(os.path.join(det_dir, base))
     assert os.path.exists(os.path.join(det_dir, base + ".txt"))
+
+
+@pytest.mark.e2e
+def test_stablehlo_export_roundtrip():
+    """jax.export serialization of the fused inference fn round-trips."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssd_tensorflow_tpu.models.ssd_vgg import (
+        ModelConfig,
+        apply_result,
+        init_params,
+    )
+
+    cfg = ModelConfig(
+        preset_name="vgg300", num_classes=3, compute_dtype="float32"
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    def fn(images):
+        return apply_result(params, images, cfg)
+
+    exported = jax.export.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct((1, 300, 300, 3), jnp.uint8)
+    )
+    blob = exported.serialize()
+    assert len(blob) > 1_000_000  # params are baked in
+    re = jax.export.deserialize(blob)
+    out = re.call(np.zeros((1, 300, 300, 3), np.uint8))
+    assert out.shape == (1, 8732, 8)
+    want = np.asarray(fn(jnp.zeros((1, 300, 300, 3), jnp.uint8)))
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
