@@ -57,3 +57,81 @@ class TestAbsorbPreprocessing:
         h = _oihw_to_hwio(w)
         assert h.shape == (4, 5, 3, 2)
         assert h[1, 2, 0, 1] == w[1, 0, 1, 2]
+
+
+class TestTorchPathEndToEnd:
+    """Exercise the real torch.load path: a torch.save'd state dict in
+    the exact torchvision vgg16 layout -> converter CLI -> npz ->
+    load_pretrained_vgg overlay. No network; weights are random but the
+    shapes, key names, tensor types and transposes are the real deal."""
+
+    @pytest.mark.slow
+    def test_pth_to_npz_to_params(self, tmp_path):
+        import torch
+
+        torch.manual_seed(0)
+        layer_channels = [
+            (0, 3, 64), (2, 64, 64),
+            (5, 64, 128), (7, 128, 128),
+            (10, 128, 256), (12, 256, 256), (14, 256, 256),
+            (17, 256, 512), (19, 512, 512), (21, 512, 512),
+            (24, 512, 512), (26, 512, 512), (28, 512, 512),
+        ]
+        sd = {}
+        for idx, cin, cout in layer_channels:
+            sd[f"features.{idx}.weight"] = torch.randn(cout, cin, 3, 3) * 0.05
+            sd[f"features.{idx}.bias"] = torch.randn(cout) * 0.05
+        sd["classifier.0.weight"] = torch.randn(4096, 512 * 7 * 7) * 0.01
+        sd["classifier.0.bias"] = torch.randn(4096) * 0.01
+        sd["classifier.3.weight"] = torch.randn(4096, 4096) * 0.01
+        sd["classifier.3.bias"] = torch.randn(4096) * 0.01
+        # real torchvision state dicts also carry classifier.6 (the
+        # 1000-way head); the converter must ignore it
+        sd["classifier.6.weight"] = torch.randn(1000, 4096) * 0.01
+        sd["classifier.6.bias"] = torch.randn(1000) * 0.01
+
+        pth = tmp_path / "vgg16_fake.pth"
+        torch.save(sd, str(pth))
+
+        from convert_vgg_weights import main as convert_main
+
+        npz = tmp_path / "vgg16.npz"
+        assert convert_main([str(pth), "--output", str(npz)]) == 0
+
+        data = np.load(npz)
+        assert data["conv1_1/w"].shape == (3, 3, 3, 64)
+        assert data["conv5_3/w"].shape == (3, 3, 512, 512)
+        assert data["mod_conv6/w"].shape == (3, 3, 512, 1024)
+        assert data["mod_conv7/w"].shape == (1, 1, 1024, 1024)
+
+        # decimation provenance: mod_conv6 tap (0,0,:,0) is fc6 output
+        # unit 0's weight for spatial tap (0,0) -> classifier.0 row 0,
+        # flattened CHW index c*49 + 0*7 + 0
+        fc6 = sd["classifier.0.weight"].numpy()
+        np.testing.assert_allclose(
+            data["mod_conv6/w"][0, 0, :, 0],
+            fc6[0].reshape(512, 7, 7)[:, 0, 0],
+            rtol=1e-6,
+        )
+
+        # overlay into model params and run a forward
+        import jax
+        import jax.numpy as jnp
+
+        from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, init_params
+        from ssd_tensorflow_tpu.models.vgg16 import (
+            apply_backbone,
+            load_pretrained_vgg,
+        )
+
+        config = ModelConfig(preset_name="vgg300", compute_dtype="float32")
+        params = init_params(jax.random.PRNGKey(0), config)
+        loaded = load_pretrained_vgg(str(npz), params)
+        np.testing.assert_array_equal(
+            np.asarray(loaded["conv2_1"]["w"]),
+            _oihw_to_hwio(sd["features.5.weight"].numpy()),
+        )
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        conv4_3, out = apply_backbone(loaded, x)
+        assert conv4_3.shape == (1, 8, 8, 512)
+        assert out.shape == (1, 4, 4, 1024)
