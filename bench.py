@@ -89,12 +89,12 @@ def main():
                 return d.scores.sum()
 
         else:
+            from ssd_tensorflow_tpu.models.ssd_vgg import apply_scores
+            from ssd_tensorflow_tpu.ops.postprocess import decode_scores
 
             def one_step(p, x):
-                r = apply_result(p, x, config)
-                d = decode_detections(
-                    r[..., : K + 1], r[..., K + 1 :], anchors, det_cfg
-                )
+                conf, cls, locs = apply_scores(p, x, config)
+                d = decode_scores(conf, cls, locs, anchors, det_cfg)
                 return d.scores.sum()
 
         def chained(p, x):

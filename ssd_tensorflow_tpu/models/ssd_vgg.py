@@ -52,6 +52,12 @@ class ModelConfig:
     #: preprocessing; the expand-fill mean [104,117,123]
     #: (process_dataset.py:114) pins the convention.
     mean_bgr: Tuple[float, float, float] = (104.0, 117.0, 123.0)
+    #: run preprocess+conv1_1+conv1_2+pool1 as the width-packed stem
+    #: (models/packed_conv.py) — same math, ~3x faster on TPU where the
+    #: 64-channel convs otherwise waste half the vector lanes. Same
+    #: parameters either way; differentiable; disable for exact
+    #: bit-parity with the unpacked path.
+    packed_stem: bool = True
 
     @property
     def preset(self) -> SSDPreset:
@@ -138,6 +144,55 @@ def preprocess(images, config: ModelConfig):
     return x.astype(dtype)
 
 
+def _feature_maps(
+    params,
+    images,
+    config: ModelConfig,
+    *,
+    preprocessed: bool = False,
+    inference: bool = False,
+):
+    """Backbone + extra layers -> the preset's multibox source maps."""
+    from ssd_tensorflow_tpu.models.layers import l2_normalize_scale
+
+    preset = config.preset
+    if config.packed_stem and not preprocessed:
+        from ssd_tensorflow_tpu.models.packed_conv import conv1_block_packed
+
+        pool1 = conv1_block_packed(
+            params,
+            images,
+            config.mean_bgr,
+            config.compute_dtype,
+            f32_out=inference,
+        )
+        conv4_3, x = vgg16.apply_backbone(
+            params, pool1, config.a_trous, f32_out=inference, from_pool1=True
+        )
+    else:
+        x = images if preprocessed else preprocess(images, config)
+        x = x.astype(jnp.dtype(config.compute_dtype))
+
+        conv4_3, x = vgg16.apply_backbone(
+            params, x, config.a_trous, f32_out=inference
+        )
+
+    maps = [l2_normalize_scale(conv4_3, params["l2_norm_conv4_3"]["scale"]), x]
+
+    for name, _, _, stride, padding in _extra_layer_defs(preset.num_maps):
+        if name == "conv12_1":
+            x = conv_relu(params[name], x, stride, padding, f32_out=inference)
+            # asymmetric zero-pad before conv12_2 (ssdvgg.py:327-330)
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            continue
+        x = conv_relu(params[name], x, stride, padding, f32_out=inference)
+        if name in ("conv8_2", "conv9_2", "conv10_2", "conv11_2", "conv12_2"):
+            maps.append(x)
+
+    assert len(maps) == preset.num_maps, (len(maps), preset.num_maps)
+    return maps
+
+
 def apply_model(
     params,
     images,
@@ -161,29 +216,9 @@ def apply_model(
       ``(B, A, 4)`` float32 location offsets.
     """
     preset = config.preset
-    x = images if preprocessed else preprocess(images, config)
-    x = x.astype(jnp.dtype(config.compute_dtype))
-
-    conv4_3, x = vgg16.apply_backbone(
-        params, x, config.a_trous, f32_out=inference
+    maps = _feature_maps(
+        params, images, config, preprocessed=preprocessed, inference=inference
     )
-
-    from ssd_tensorflow_tpu.models.layers import l2_normalize_scale
-
-    maps = [l2_normalize_scale(conv4_3, params["l2_norm_conv4_3"]["scale"]), x]
-
-    for name, _, _, stride, padding in _extra_layer_defs(preset.num_maps):
-        if name == "conv12_1":
-            x = conv_relu(params[name], x, stride, padding, f32_out=inference)
-            # asymmetric zero-pad before conv12_2 (ssdvgg.py:327-330)
-            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            continue
-        x = conv_relu(params[name], x, stride, padding, f32_out=inference)
-        if name in ("conv8_2", "conv9_2", "conv10_2", "conv11_2", "conv12_2"):
-            maps.append(x)
-
-    assert len(maps) == preset.num_maps, (len(maps), preset.num_maps)
-
     nv = config.num_vars
     outputs = []
     for i, (fmap, m) in enumerate(zip(maps, preset.maps)):
@@ -212,6 +247,56 @@ def apply_result(params, images, config: ModelConfig):
     """
     logits, locs = apply_model(params, images, config, inference=True)
     return jnp.concatenate([jax.nn.softmax(logits, axis=-1), locs], axis=-1)
+
+
+def apply_scores(params, images, config: ModelConfig):
+    """Throughput inference head: per-anchor ``(conf, cls, locs)``.
+
+    The decode+NMS pipeline only consumes the argmax foreground class
+    and its softmax probability per anchor (ops/postprocess.py), so the
+    full ``(B, A, K+1)`` float32 softmax of ``apply_result`` never needs
+    to materialize: ``conf = exp(max_fg_logit - logsumexp(logits))`` and
+    ``cls = argmax(fg_logits)`` reduce each head map in-place. Saves
+    ~300 MB of HBM round-trips per vgg512 batch-64 step.
+
+    Returns:
+      conf ``(B, A)`` float32, cls ``(B, A)`` int32, locs ``(B, A, 4)``
+      float32 — in the anchor-order contract.
+    """
+    preset = config.preset
+    maps = _feature_maps(params, images, config, inference=True)
+    K = config.num_classes
+    nv = config.num_vars
+    confs, clss, locss = [], [], []
+    for i, (fmap, m) in enumerate(zip(maps, preset.maps)):
+        hp = params[f"classifier{i}"]
+        y = conv2d(fmap, hp["w"], hp["b"], f32_out=True)  # (B,h,w,ns*nv)
+        b, h, w, _ = y.shape
+        y = y.reshape(b, h * w, m.num_shapes, nv)  # compute dtype (bf16)
+        logits = y[..., : K + 1]
+        fg = logits[..., :K]
+        cls_m = jnp.argmax(fg, axis=-1).astype(jnp.int32)  # (b,hw,ns)
+        # max/exp/sum in f32 scalar math; the (..., K+1) exp intermediate
+        # fuses into the reduction — nothing (B, A, K)-sized hits HBM.
+        mx = jnp.max(logits, axis=-1).astype(jnp.float32)
+        se = jnp.sum(
+            jnp.exp(logits.astype(jnp.float32) - mx[..., None]), axis=-1
+        )
+        conf_m = jnp.exp(
+            jnp.max(fg, axis=-1).astype(jnp.float32) - mx
+        ) / se
+        locs_m = y[..., K + 1 :]
+        # heads-major anchor-order contract (see apply_model)
+        confs.append(jnp.transpose(conf_m, (0, 2, 1)).reshape(b, -1))
+        clss.append(jnp.transpose(cls_m, (0, 2, 1)).reshape(b, -1))
+        locss.append(
+            jnp.transpose(locs_m, (0, 2, 1, 3)).reshape(b, -1, 4)
+        )
+    return (
+        jnp.concatenate(confs, axis=1),
+        jnp.concatenate(clss, axis=1),
+        jnp.concatenate(locss, axis=1),
+    )
 
 
 class SSDVGG:

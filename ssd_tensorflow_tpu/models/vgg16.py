@@ -53,15 +53,27 @@ def init_vgg_params(key, dtype=jnp.float32):
     return params
 
 
-def apply_backbone(params, x, a_trous: bool = True, f32_out: bool = False):
+def apply_backbone(
+    params,
+    x,
+    a_trous: bool = True,
+    f32_out: bool = False,
+    from_pool1: bool = False,
+):
     """VGG-16 trunk -> (conv4_3 relu, mod_conv7 relu).
 
     Feature taps mirror the reference: conv4_3's ReLU output (pre-pool4,
     ssdvgg.py:195) and the modified conv7 (ssdvgg.py:222-292). pool5 is
     3x3 stride-1 SAME (ssdvgg.py:234-236).
+
+    ``from_pool1=True`` means ``x`` is already the pool1 output (e.g.
+    from the width-packed stem, models/packed_conv.py) and the conv1
+    block is skipped.
     """
     conv4_3 = None
     for name, _ in VGG_CONV_LAYERS:
+        if from_pool1 and name in ("conv1_1", "conv1_2"):
+            continue
         x = conv_relu(params[name], x, f32_out=f32_out)
         if name == "conv4_3":
             conv4_3 = x

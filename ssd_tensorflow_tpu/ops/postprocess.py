@@ -72,10 +72,14 @@ def _candidates_single(probs, locs, anchors, cfg: DetectionConfig):
     fg = probs[:, :num_fg]
     cls = jnp.argmax(fg, axis=-1)  # (A,)
     conf = jnp.max(fg, axis=-1)  # (A,)
+    return _candidates_from_scores(conf, cls, locs, anchors, cfg)
 
+
+def _candidates_from_scores(conf, cls, locs, anchors, cfg: DetectionConfig):
+    """Top-K candidate prep from per-anchor ``(conf, cls)`` scores."""
     conf_top, idx = jax.lax.top_k(conf, cfg.top_k)  # sorted desc
     cls_top = cls[idx].astype(jnp.int32)
-    boxes = decode_locations(locs[idx], anchors[idx])
+    boxes = decode_locations(locs[idx].astype(jnp.float32), anchors[idx])
     boxes = clamp_boxes(boxes)
     valid = conf_top >= cfg.confidence_threshold
     return boxes, conf_top, cls_top, valid
@@ -139,6 +143,29 @@ def decode_detections(probs, locs, anchors, cfg: DetectionConfig = DetectionConf
     else:
         f = jax.vmap(lambda p, l: _decode_single(p, l, anchors, cfg))
         boxes, scores, classes, valid = f(probs, locs)
+    return Detections(boxes=boxes, scores=scores, classes=classes, valid=valid)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_scores(
+    conf, cls, locs, anchors, cfg: DetectionConfig = DetectionConfig()
+):
+    """Batched fused decode+NMS from per-anchor scores.
+
+    The throughput-path twin of :func:`decode_detections` for use with
+    ``models.ssd_vgg.apply_scores`` — identical detections, but takes
+    the already-reduced ``(B, A)`` confidence / ``(B, A)`` class tensors
+    so the full softmax never materializes.
+    """
+    def one(cf, cl, lc):
+        boxes, conf_top, cls_top, valid = _candidates_from_scores(
+            cf, cl, lc, anchors, cfg
+        )
+        corners = box_canvas_corners(boxes)
+        keep = class_aware_keep(corners, cls_top, valid, cfg.nms_threshold)
+        return _finalize_single(boxes, conf_top, cls_top, keep, cfg)
+
+    boxes, scores, classes, valid = jax.vmap(one)(conf, cls, locs)
     return Detections(boxes=boxes, scores=scores, classes=classes, valid=valid)
 
 
