@@ -1,9 +1,12 @@
 # Convenience targets. Tests force the CPU backend internally.
 
-.PHONY: test test-fast bench bench-int8 bench-train lint e2e
+.PHONY: test test-all test-fast bench bench-int8 bench-train lint e2e
 
 test:
 	python -m pytest tests/ -q
+
+test-all:  # includes slow full-resolution + subprocess tests
+	python -m pytest tests/ -q -m ""
 
 test-fast:
 	python -m pytest tests/ -q --ignore=tests/test_e2e.py --ignore=tests/test_quantized.py

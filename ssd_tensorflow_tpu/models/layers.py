@@ -70,13 +70,33 @@ def l2_normalize_scale(x, scale, eps=1e-12):
     return (scale.astype(jnp.float32) * norm).astype(x.dtype)
 
 
+def _key_seed(key):
+    """Derive a numpy seed sequence from a jax PRNG key (either the
+    legacy uint32 pair or a new-style typed key)."""
+    import numpy as np
+
+    try:
+        data = jax.random.key_data(key)
+    except TypeError:  # legacy raw uint32 key
+        data = key
+    return np.asarray(data).ravel().astype(np.uint32)
+
+
 def xavier_uniform(key, shape, dtype=jnp.float32):
     """Glorot/Xavier uniform init — matches tf.contrib.layers.
-    xavier_initializer used throughout the reference (ssdvgg.py:46,59)."""
+    xavier_initializer used throughout the reference (ssdvgg.py:46,59).
+
+    numpy-backed: threading this through jax.random costs ~40 threefry
+    compilations (30+ s on a 1-core CPU host) per model init; host-side
+    RNG is instant and just as deterministic in the key.
+    """
+    import numpy as np
+
     fan_in = shape[0] * shape[1] * shape[2]
     fan_out = shape[0] * shape[1] * shape[3]
-    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
-    return jax.random.uniform(key, shape, dtype, -limit, limit)
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    rng = np.random.default_rng(_key_seed(key))
+    return jnp.asarray(rng.uniform(-limit, limit, shape), dtype)
 
 
 def init_conv(key, kh, kw, cin, cout, dtype=jnp.float32):

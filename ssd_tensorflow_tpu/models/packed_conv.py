@@ -78,6 +78,7 @@ def preprocess_flat(images, mean_bgr, dtype):
     """
     B, H, W, C = images.shape
     assert C == 3
+    assert W % 2 == 0, f"width {W} must be even to pack"
     flat = images.reshape(B, H, W * 3)
     mean = jnp.tile(jnp.asarray(mean_bgr, jnp.float32), W).astype(jnp.float32)
     x = flat.astype(jnp.float32) - mean

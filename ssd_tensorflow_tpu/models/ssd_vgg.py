@@ -25,6 +25,7 @@ TPU-first choices:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -71,6 +72,9 @@ class ModelConfig:
 
 # Extra feature layers: (name, out_ch, kernel, stride, padding)
 # conv10_2 differs between 6- and 7-map presets (ssdvgg.py:300-305).
+# Each convN_1/convN_2 pair produces one multibox source map beyond the
+# two backbone taps, so presets with fewer maps (e.g. the tiny test64
+# preset) use a truncated prefix of the chain.
 def _extra_layer_defs(num_maps: int):
     stride10, padding10 = (2, "SAME") if num_maps >= 7 else (1, "VALID")
     defs = [
@@ -82,7 +86,7 @@ def _extra_layer_defs(num_maps: int):
         ("conv10_2", 256, 3, stride10, padding10),
         ("conv11_1", 128, 1, 1, "SAME"),
         ("conv11_2", 256, 3, 1, "VALID"),
-    ]
+    ][: 2 * (num_maps - 2)]
     if num_maps >= 7:
         defs += [
             ("conv12_1", 128, 1, 1, "SAME"),  # + asymmetric pad, see apply
@@ -98,7 +102,7 @@ _MAP_CHANNELS = (512, 1024, 512, 256, 256, 256, 256)
 
 
 def init_params(key, config: ModelConfig, dtype=jnp.float32):
-    """Build the full parameter pytree."""
+    """Build the full parameter pytree (numpy-backed init, see layers)."""
     preset = config.preset
     k_vgg, k_extra, k_heads = jax.random.split(key, 3)
 

@@ -72,6 +72,23 @@ SSD_PRESETS = {
         extra_scale=1.075,
         num_anchors=8732,
     ),
+    # Tiny 4-map preset for fast tests and demos: same architecture
+    # family (VGG trunk + a-trous conv6/7 + truncated extra-layer chain),
+    # 64x64 input, 372 anchors. Not part of the reference; exists so the
+    # unit-test suite exercises every model contract without paying
+    # full-resolution CPU convolutions.
+    "test64": _preset(
+        "test64",
+        (64, 64),
+        [
+            ((8, 8), 0.15, (2, 0.5)),
+            ((4, 4), 0.4, (2, 3, 0.5, 1.0 / 3.0)),
+            ((2, 2), 0.65, (2, 0.5)),
+            ((1, 1), 0.9, (2, 0.5)),
+        ],
+        extra_scale=1.07,
+        num_anchors=372,
+    ),
     # Reference: ssdutils.py:49-61
     "vgg512": _preset(
         "vgg512",

@@ -46,7 +46,7 @@ def dataset(tmp_path_factory):
 
     data_dir = root / "data"
     os.makedirs(data_dir)
-    preset = get_preset_by_name("vgg300")
+    preset = get_preset_by_name("test64")
     with open(data_dir / "train-samples.pkl", "wb") as f:
         pickle.dump(samples[:8], f)
     with open(data_dir / "valid-samples.pkl", "wb") as f:
@@ -133,7 +133,7 @@ def test_full_pipeline(dataset, tmp_path):
     dumped = [f for f in os.listdir(out_dir) if f.endswith(".npy")]
     assert len(dumped) == len(files)
     pred = np.load(os.path.join(out_dir, dumped[0]))
-    assert pred.shape == (8732, 1 + 1 + 4)  # (A, K+5) with K=1
+    assert pred.shape == (372, 1 + 1 + 4)  # (A, K+5) with K=1
 
     # ---- export ----------------------------------------------------------
     from ssd_tensorflow_tpu.cli.export_model import main as export_main
@@ -180,7 +180,7 @@ def test_stablehlo_export_roundtrip():
     )
 
     cfg = ModelConfig(
-        preset_name="vgg300", num_classes=3, compute_dtype="float32"
+        preset_name="test64", num_classes=3, compute_dtype="float32"
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
 
@@ -188,12 +188,12 @@ def test_stablehlo_export_roundtrip():
         return apply_result(params, images, cfg)
 
     exported = jax.export.export(jax.jit(fn))(
-        jax.ShapeDtypeStruct((1, 300, 300, 3), jnp.uint8)
+        jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.uint8)
     )
     blob = exported.serialize()
     assert len(blob) > 1_000_000  # params are baked in
     re = jax.export.deserialize(blob)
-    out = re.call(np.zeros((1, 300, 300, 3), np.uint8))
-    assert out.shape == (1, 8732, 8)
-    want = np.asarray(fn(jnp.zeros((1, 300, 300, 3), jnp.uint8)))
+    out = re.call(np.zeros((1, 64, 64, 3), np.uint8))
+    assert out.shape == (1, 372, 8)
+    want = np.asarray(fn(jnp.zeros((1, 64, 64, 3), jnp.uint8)))
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)

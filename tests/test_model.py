@@ -22,23 +22,37 @@ from ssd_tensorflow_tpu.models.vgg16 import decimate_fc6, decimate_fc7
 
 
 @pytest.fixture(scope="module")
-def vgg300_setup():
+def test64_setup():
+    """Tiny 4-map preset: exercises every model contract in seconds."""
     cfg = ModelConfig(
-        preset_name="vgg300", num_classes=20, compute_dtype="float32"
+        preset_name="test64", num_classes=20, compute_dtype="float32"
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     return cfg, params
 
 
 class TestForward:
-    def test_vgg300_shapes(self, vgg300_setup):
-        cfg, params = vgg300_setup
+    def test_test64_shapes(self, test64_setup):
+        cfg, params = test64_setup
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        logits, locs = apply_model(params, x, cfg)
+        assert logits.shape == (1, 372, 21)
+        assert locs.shape == (1, 372, 4)
+        assert logits.dtype == jnp.float32
+
+    @pytest.mark.slow
+    def test_vgg300_shapes(self):
+        cfg = ModelConfig(
+            preset_name="vgg300", num_classes=20, compute_dtype="float32"
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg)
         x = jnp.zeros((1, 300, 300, 3), jnp.float32)
         logits, locs = apply_model(params, x, cfg)
         assert logits.shape == (1, 8732, 21)
         assert locs.shape == (1, 8732, 4)
         assert logits.dtype == jnp.float32
 
+    @pytest.mark.slow
     def test_vgg512_shapes(self):
         cfg = ModelConfig(
             preset_name="vgg512", num_classes=20, compute_dtype="float32"
@@ -49,32 +63,32 @@ class TestForward:
         assert logits.shape == (1, 24564, 21)
         assert locs.shape == (1, 24564, 4)
 
-    def test_result_tensor(self, vgg300_setup):
-        cfg, params = vgg300_setup
-        x = jnp.zeros((1, 300, 300, 3), jnp.float32)
+    def test_result_tensor(self, test64_setup):
+        cfg, params = test64_setup
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
         result = apply_result(params, x, cfg)
-        assert result.shape == (1, 8732, 25)
+        assert result.shape == (1, 372, 25)
         probs = np.asarray(result[..., :21])
         np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
 
-    def test_bfloat16_compute(self, vgg300_setup):
-        _, params = vgg300_setup
+    def test_bfloat16_compute(self, test64_setup):
+        _, params = test64_setup
         cfg = ModelConfig(
-            preset_name="vgg300", num_classes=20, compute_dtype="bfloat16"
+            preset_name="test64", num_classes=20, compute_dtype="bfloat16"
         )
-        x = jnp.zeros((1, 300, 300, 3), jnp.float32)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
         logits, locs = apply_model(params, x, cfg)
         assert logits.dtype == jnp.float32  # outputs promoted back
 
-    def test_head_ordering_contract(self, vgg300_setup):
+    def test_head_ordering_contract(self, test64_setup):
         """Perturbing head j of map m must only move predictions in that
         head's anchor slice — locks the heads-major concat order against
         the anchor generator."""
         from ssd_tensorflow_tpu.presets import get_preset_by_name
 
-        cfg, params = vgg300_setup
-        preset = get_preset_by_name("vgg300")
-        x = jax.random.normal(jax.random.PRNGKey(1), (1, 300, 300, 3)) * 50
+        cfg, params = test64_setup
+        preset = get_preset_by_name("test64")
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 50
 
         base_logits, _ = apply_model(params, x, cfg)
         base = np.asarray(base_logits[0])
@@ -195,8 +209,8 @@ class TestLoss:
         assert float(got["confidence"]) == 0.0
         assert float(got["localization"]) == 0.0
 
-    def test_l2_covers_all_filters(self, vgg300_setup):
-        cfg, params = vgg300_setup
+    def test_l2_covers_all_filters(self, test64_setup):
+        cfg, params = test64_setup
         l2 = float(l2_regularizer(params))
         manual = 0.0
         for name, leaf in params.items():
@@ -227,15 +241,15 @@ class TestLoss:
             smooth_l1(x), [1.5, 0.125, 0.0, 0.125, 1.5], rtol=1e-6
         )
 
-    def test_loss_gradient_flows(self, vgg300_setup):
+    def test_loss_gradient_flows(self, test64_setup):
         """Gradient of the total loss w.r.t. params is finite and nonzero."""
-        cfg, params = vgg300_setup
+        cfg, params = test64_setup
         rng = np.random.default_rng(8)
-        x = jnp.asarray(rng.uniform(0, 255, (1, 300, 300, 3)), jnp.float32)
-        labels = np.zeros((1, 8732, 25), dtype=np.float32)
+        x = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+        labels = np.zeros((1, 372, 25), dtype=np.float32)
         labels[:, :, 20] = 1.0
         labels[0, :40, 20] = 0.0
-        labels[0, :40, 3] = 1.0
+        labels[0, :40, 3] = 1.0  # 40 positive anchors of class 3
         labels = jnp.asarray(labels)
 
         def loss_fn(p):
@@ -243,7 +257,7 @@ class TestLoss:
             out = total_loss(logits, locs, labels, p, 20, 0.0005)
             return out["total"]
 
-        val, grads = jax.value_and_grad(loss_fn)(params)
+        val, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
         assert np.isfinite(float(val))
         g = np.asarray(grads["conv4_3"]["w"])
         assert np.isfinite(g).all() and np.abs(g).max() > 0

@@ -20,11 +20,11 @@ from ssd_tensorflow_tpu.models.ssd_vgg import (
 @pytest.fixture(scope="module")
 def setup():
     cfg = ModelConfig(
-        preset_name="vgg300", num_classes=3, compute_dtype="float32"
+        preset_name="test64", num_classes=3, compute_dtype="float32"
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
-    images = rng.integers(0, 255, (1, 300, 300, 3), dtype=np.uint8)
+    images = rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
     return cfg, params, images
 
 

@@ -23,9 +23,9 @@ from ssd_tensorflow_tpu.presets import get_preset_by_name
 
 from reference_impl import random_boxes
 
-# A tiny synthetic "preset-compatible" setup would still require full
-# 300x300 images; instead run the real vgg300 at batch 2 on CPU once
-# per module.
+# The tiny test64 preset (64x64, 4 maps, 372 anchors) exercises the
+# same step/sharding contracts as vgg300 at a fraction of the CPU cost;
+# full-resolution training is covered by the slow e2e smoke test.
 K = 20
 
 
@@ -33,16 +33,16 @@ K = 20
 def setup():
     cfg = TrainConfig(
         model=ModelConfig(
-            preset_name="vgg300", num_classes=K, compute_dtype="float32"
+            preset_name="test64", num_classes=K, compute_dtype="float32"
         ),
         detect=DetectionConfig(top_k=32, confidence_threshold=0.5),
     )
     params = init_params(jax.random.PRNGKey(0), cfg.model)
-    anchors = anchors_for_preset(get_preset_by_name("vgg300"))
+    anchors = anchors_for_preset(get_preset_by_name("test64"))
     return cfg, params, anchors
 
 
-def _batch(rng, b, g=8, size=300):
+def _batch(rng, b, g=8, size=64):
     gt = np.stack([random_boxes(rng, g, tight=True) for _ in range(b)])
     return {
         "images": rng.uniform(0, 255, (b, size, size, 3)).astype(np.float32),
