@@ -36,6 +36,16 @@ def build_parser():
         help="images used to calibrate int8 activation scales",
     )
     parser.add_argument(
+        "--calibration-percentile", type=float, default=99.9,
+        help="activation amplitude percentile for int8 scales "
+        "(100 = max-abs)",
+    )
+    parser.add_argument(
+        "--allow-noise-calibration", action="store_true",
+        help="permit calibrating on random noise when no images are "
+        "given (deploy-quality scales need real images)",
+    )
+    parser.add_argument(
         "--stablehlo",
         default=None,
         help="also export a serialized StableHLO program to this path",
@@ -73,11 +83,21 @@ def main(argv=None):
                 img = cv2.imread(f)
                 calib[i] = cv2.resize(img, (w, h))
         else:
+            if not args.allow_noise_calibration:
+                print(
+                    "[!] int8 export needs --calibration-images (real "
+                    "images from the training distribution); pass "
+                    "--allow-noise-calibration to override for testing"
+                )
+                return 1
             print("[!] no calibration images given; using random noise")
             calib = np.random.default_rng(0).integers(
                 0, 255, (2, h, w, 3), dtype=np.uint8
             )
-        qm = QuantizedModel(params, model_cfg, calib)
+        qm = QuantizedModel(
+            params, model_cfg, calib,
+            percentile=args.calibration_percentile,
+        )
         save_bundle(
             args.output_file, qm.qparams, model_cfg, lid2name,
             act_scales=qm.act_scales,

@@ -158,6 +158,30 @@ def main(argv=None):
         return 1
 
     # ------------------------------------------------------------------
+    # Multi-host: each process owns a contiguous shard of the sample
+    # lists and produces batch_size/process_count local rows; the rows
+    # assemble into one global data-sharded jax.Array per step
+    # (SURVEY §2.4 "per-host data feeding sharded by jax.process_index").
+    # ------------------------------------------------------------------
+    n_proc = jax.process_count()
+    local_batch_size = args.batch_size
+    if n_proc > 1:
+        from ssd_tensorflow_tpu.parallel.multihost import process_shard
+
+        if args.batch_size % n_proc:
+            print(f"[!] batch size {args.batch_size} not divisible by "
+                  f"{n_proc} processes")
+            return 1
+        local_batch_size = args.batch_size // n_proc
+        td.train_samples = process_shard(td.train_samples)
+        td.valid_samples = process_shard(td.valid_samples)
+        td.num_train = len(td.train_samples)
+        td.num_valid = len(td.valid_samples)
+        print(f"[i] Multi-host: process {jax.process_index()}/{n_proc}, "
+              f"{td.num_train} local train samples, "
+              f"local batch {local_batch_size}")
+
+    # ------------------------------------------------------------------
     # Model + train step
     # ------------------------------------------------------------------
     lr_values = tuple(float(x) for x in args.lr_values.split(";") if x)
@@ -230,6 +254,14 @@ def main(argv=None):
     print(f"[i] Mesh: {dict(mesh.shape)} over {len(mesh.devices.ravel())} device(s)")
     state = shard_state(state, mesh)
 
+    if n_proc > 1:
+        from ssd_tensorflow_tpu.parallel.multihost import make_global_batch
+
+        def global_put(batch):
+            return make_global_batch(batch, mesh)
+    else:
+        global_put = None
+
     train_step = make_train_step(train_cfg, anchors)
     eval_step = make_eval_step(train_cfg, anchors)
 
@@ -260,8 +292,8 @@ def main(argv=None):
         def tqdm(x, **kw):
             return x
 
-    n_train_batches = td.num_train_batches(args.batch_size)
-    n_valid_batches = td.num_valid_batches(args.batch_size)
+    n_train_batches = td.num_train_batches(local_batch_size)
+    n_valid_batches = td.num_valid_batches(local_batch_size)
 
     profiled = False
 
@@ -277,10 +309,11 @@ def main(argv=None):
         pending_losses = []  # device scalars; fetched once per epoch
         # producer thread overlaps augmentation + H2D with device compute
         generator = prefetch_to_device(
-            td.train_generator(args.batch_size, args.num_workers),
+            td.train_generator(local_batch_size, args.num_workers),
             size=2,
             sharding=batch_sharding,
             transform=lambda item: (item[0], (item[1], item[2])),
+            put_fn=global_put,
         )
         description = "[i] Train {:>2}/{}".format(e + 1, args.epochs)
         for dev_batch, (gt_lists, num_real) in tqdm(
@@ -310,6 +343,10 @@ def main(argv=None):
             if e == 0:
                 continue
 
+            if n_proc > 1:
+                from ssd_tensorflow_tpu.parallel.multihost import local_rows
+
+                dets = jax.tree_util.tree_map(local_rows, dets)
             boxes_per_image = detections_to_boxes(dets, td.lid2name)
             for i in range(num_real):
                 boxes = boxes_per_image[i]
@@ -331,10 +368,11 @@ def main(argv=None):
 
         pending_losses = []
         generator = prefetch_to_device(
-            td.valid_generator(args.batch_size, args.num_workers),
+            td.valid_generator(local_batch_size, args.num_workers),
             size=2,
             sharding=batch_sharding,
             transform=lambda item: (item[0], (item[1], item[2])),
+            put_fn=global_put,
         )
         description = "[i] Valid {:>2}/{}".format(e + 1, args.epochs)
         for dev_batch, (gt_lists, num_real) in tqdm(
@@ -346,6 +384,10 @@ def main(argv=None):
             if e == 0:
                 continue
 
+            if n_proc > 1:
+                from ssd_tensorflow_tpu.parallel.multihost import local_rows
+
+                dets = jax.tree_util.tree_map(local_rows, dets)
             boxes_per_image = detections_to_boxes(dets, td.lid2name)
             for i in range(num_real):
                 boxes = boxes_per_image[i]

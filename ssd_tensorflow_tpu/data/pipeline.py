@@ -118,7 +118,8 @@ def _pool_process_batch(samples):
 def _shm_producer(processor, seed_base, sample_queue, batch_queue, image_size, batch_size):
     """Worker loop: augment sample chunks, publish fixed-shape batches
     into shared memory (the reference's batch_producer,
-    training_data.py:109-134)."""
+    training_data.py:109-134). Chunk ids travel with each batch so the
+    consumer can detect and re-queue work lost to a dead worker."""
     import queue as q
 
     random.seed(seed_base + os.getpid())
@@ -131,12 +132,12 @@ def _shm_producer(processor, seed_base, sample_queue, batch_queue, image_size, b
         pass
     while True:
         try:
-            chunk = sample_queue.get(timeout=1)
+            idx, chunk = sample_queue.get(timeout=1)
         except q.Empty:
             break
         results = [processor(s) for s in chunk]
         batch, gt_lists, n = _collate(results, batch_size, image_size)
-        batch_queue.put(batch, aux=(gt_lists, n))
+        batch_queue.put(batch, aux=(idx, gt_lists, n))
 
 
 def _collate(results, batch_size, image_size):
@@ -285,9 +286,10 @@ class TrainingData:
             "gt_mask": ((batch_size, g), np.bool_),
         }
         batch_queue = ShmBatchQueue(specs, maxsize=num_workers * 5, ctx=ctx)
-        sample_queue = ctx.Queue(max(len(chunks), 1))
-        for c in chunks:
-            sample_queue.put(c)
+        # capacity for one full re-queue of every chunk after worker loss
+        sample_queue = ctx.Queue(max(2 * len(chunks), 1))
+        for item in enumerate(chunks):
+            sample_queue.put(item)
 
         seed = random.randint(0, 2**30)
         try:
@@ -297,8 +299,9 @@ class TrainingData:
             cv2.setNumThreads(1)
         except ImportError:
             prev_threads = None
-        workers = [
-            ctx.Process(
+
+        def spawn(i):
+            p = ctx.Process(
                 target=_shm_producer,
                 args=(
                     processor, seed + i, sample_queue, batch_queue,
@@ -306,19 +309,56 @@ class TrainingData:
                 ),
                 daemon=True,
             )
-            for i in range(num_workers)
-        ]
-        for p in workers:
             p.start()
+            return p
+
+        workers = [spawn(i) for i in range(num_workers)]
         if prev_threads is not None:
             cv2.setNumThreads(prev_threads)
 
+        # Consumer with worker supervision. The reference blocks forever
+        # if a producer dies mid-epoch (training_data.py:186-189 — the
+        # dead worker "silently shrinks the epoch"; SURVEY §5). Here a
+        # get() timeout triggers liveness checks: undelivered chunks are
+        # re-queued and dead workers replaced; duplicate deliveries
+        # (a slow-but-alive worker racing a re-queue) are dropped by the
+        # pending-id check.
+        import queue as q
+
+        pending = set(range(len(chunks)))
+        respawns = 0
         try:
-            for _ in range(len(chunks)):
-                batch, (gt_lists, n) = batch_queue.get()
-                yield batch, gt_lists, n
+            while pending:
+                try:
+                    batch, (idx, gt_lists, n) = batch_queue.get(timeout=5)
+                except q.Empty:
+                    dead = [p for p in workers if not p.is_alive()]
+                    alive = [p for p in workers if p.is_alive()]
+                    if not dead:
+                        continue  # just a slow batch
+                    if respawns >= 3 * num_workers:
+                        raise RuntimeError(
+                            "augmentation workers keep dying "
+                            f"({respawns} respawns); giving up"
+                        )
+                    print(
+                        f"[!] {len(dead)} augmentation worker(s) died; "
+                        f"re-queueing {len(pending)} undelivered chunks"
+                    )
+                    for i in sorted(pending):
+                        try:
+                            sample_queue.put((i, chunks[i]), timeout=1)
+                        except q.Full:
+                            break  # retried on the next timeout round
+                    new = [spawn(1000 + respawns + k) for k in range(len(dead))]
+                    respawns += len(dead)
+                    workers = alive + new
+                    continue
+                if idx in pending:
+                    pending.discard(idx)
+                    yield batch, gt_lists, n
             for p in workers:
-                p.join()
+                p.join(timeout=10)
         finally:
             for p in workers:
                 if p.is_alive():

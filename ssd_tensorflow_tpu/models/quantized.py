@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Dict
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -121,9 +123,47 @@ def _forward(qparams, act_scales, images, config: ModelConfig):
     return jnp.concatenate([jax.nn.softmax(logits, -1), locs], axis=-1)
 
 
-def calibrate_activation_scales(params, images, config: ModelConfig) -> Dict:
-    """One float forward over a calibration batch recording each conv
-    input's max-abs -> static symmetric activation scales."""
+def calibrate_activation_scales(
+    params,
+    images,
+    config: ModelConfig,
+    percentile: float = 99.9,
+    batch_size: int = 8,
+) -> Dict:
+    """Float forwards over the calibration set recording each conv
+    input's amplitude -> static symmetric activation scales.
+
+    ``percentile`` (default 99.9) clips rare outliers — a single hot
+    pixel otherwise wastes the whole int8 range (use 100 for the old
+    max-abs behavior). The set is processed in ``batch_size`` chunks and
+    each layer's scale is the max of the per-chunk percentiles, so
+    calibrating over many images costs memory of one small batch.
+    """
+    out = None
+    for off in range(0, images.shape[0], batch_size):
+        chunk = _calibrate_one_batch(
+            params, images[off : off + batch_size], config, percentile
+        )
+        if out is None:
+            out = chunk
+        else:
+            out = {k: max(out[k], chunk[k]) for k in out}
+    return out
+
+
+def _calibrate_one_batch(
+    params, images, config: ModelConfig, percentile: float
+) -> Dict:
+    # one jitted program per (config, percentile, shape): eager execution
+    # would pay a host<->device round trip per op
+    amps = _calibrate_amps_jit(params, images, config, percentile)
+    return {k: float(v) / 127.0 + 1e-12 for k, v in amps.items()}
+
+
+@partial(jax.jit, static_argnames=("config", "percentile"))
+def _calibrate_amps_jit(
+    params, images, config: ModelConfig, percentile: float
+) -> Dict:
     from ssd_tensorflow_tpu.models.layers import conv_relu
 
     scales = {}
@@ -131,7 +171,9 @@ def calibrate_activation_scales(params, images, config: ModelConfig) -> Dict:
     x = preprocess(images, config).astype(jnp.float32)
 
     def record(name, x):
-        scales[name] = float(jnp.max(jnp.abs(x))) / 127.0 + 1e-12
+        a = jnp.abs(x)
+        amp = jnp.max(a) if percentile >= 100 else jnp.percentile(a, percentile)
+        scales[name] = amp
 
     conv4_3 = None
     for name, _ in vgg16.VGG_CONV_LAYERS:
@@ -168,11 +210,14 @@ def calibrate_activation_scales(params, images, config: ModelConfig) -> Dict:
 class QuantizedModel:
     """Post-training-quantized deployable model."""
 
-    def __init__(self, params, config: ModelConfig, calibration_images):
+    def __init__(
+        self, params, config: ModelConfig, calibration_images,
+        percentile: float = 99.9,
+    ):
         self.config = config
         self.qparams = quantize_weights(params)
         self.act_scales = calibrate_activation_scales(
-            params, calibration_images, config
+            params, calibration_images, config, percentile=percentile
         )
 
         def fwd(qp, images):

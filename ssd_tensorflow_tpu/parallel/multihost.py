@@ -25,6 +25,25 @@ def process_shard(items, process_index=None, process_count=None):
     return items[start:end]
 
 
+def local_rows(x):
+    """This process's rows of a batch-leading global ``jax.Array``.
+
+    ``make_global_batch`` places each process's rows on its own devices,
+    so the addressable shards (sorted by batch offset) are exactly the
+    rows this host fed in — usable for host-side accounting (mAP, image
+    summaries) without a cross-host gather. On a single process this is
+    the whole array.
+    """
+    import numpy as np
+
+    unique = {}  # batch offset -> shard data (dedups replicated outputs)
+    for s in x.addressable_shards:
+        unique.setdefault(s.index[0].start or 0, s.data)
+    return np.concatenate(
+        [np.asarray(unique[k]) for k in sorted(unique)], axis=0
+    )
+
+
 def make_global_batch(local_batch: dict, mesh: Mesh) -> dict:
     """Assemble per-host batch arrays into global data-sharded arrays.
 

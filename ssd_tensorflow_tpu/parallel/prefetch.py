@@ -15,7 +15,9 @@ from queue import Queue
 import jax
 
 
-def prefetch_to_device(iterator, size: int = 2, sharding=None, transform=None):
+def prefetch_to_device(
+    iterator, size: int = 2, sharding=None, transform=None, put_fn=None
+):
     """Wrap a batch iterator so device transfer runs ahead.
 
     Args:
@@ -24,6 +26,10 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None, transform=None):
         device. Otherwise the whole item is device_put.
       size: prefetch depth (2 = classic double buffering).
       sharding: optional sharding for the device_put.
+      put_fn: overrides the transfer entirely (e.g.
+        ``multihost.make_global_batch`` assembling per-process rows into
+        one global array — jax.device_put cannot do that, the global
+        array is not host-addressable).
 
     Yields items with the device part already transferred.
     """
@@ -32,6 +38,8 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None, transform=None):
     err = []
 
     def put(x):
+        if put_fn is not None:
+            return put_fn(x)
         if sharding is not None:
             return jax.device_put(x, sharding)
         return jax.device_put(x)

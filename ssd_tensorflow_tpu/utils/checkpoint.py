@@ -90,7 +90,14 @@ def find_checkpoint(directory: str, epoch: int = -1):
             best = max(found)
             return found[best], best
         if os.path.exists(final):
-            return final, None
+            # a completed run may have pruned/never written e{N} files;
+            # the epoch is stored in the checkpoint config so resume
+            # still works (VERDICT r1 item 10)
+            try:
+                e = checkpoint_config(final).get("epoch")
+            except Exception:
+                e = None
+            return final, e
         return None, None
     if epoch in found:
         return found[epoch], epoch
@@ -131,9 +138,10 @@ class CheckpointManager:
         host_state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
         name = "final.ckpt.npz" if final else f"e{epoch}.ckpt.npz"
         path = os.path.join(self.directory, name)
+        config = dict(self.config or {}, epoch=int(epoch))
 
         def work():
-            save_checkpoint(path, host_state, self.config)
+            save_checkpoint(path, host_state, config)
             with self._lock:
                 self._prune()
             return path

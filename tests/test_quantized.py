@@ -53,7 +53,10 @@ class TestQuantizeWeights:
 class TestQuantizedForward:
     def test_close_to_float_model(self, setup):
         cfg, params, images = setup
-        qm = QuantizedModel(params, cfg, images)
+        # max-abs calibration: the single random calibration image has
+        # too few activations for the 99.9-percentile default to be
+        # meaningful (it clips the top handful of values)
+        qm = QuantizedModel(params, cfg, images, percentile=100)
         got = np.asarray(qm.result(jnp.asarray(images)))
         want = np.asarray(apply_result(params, jnp.asarray(images), cfg))
         assert got.shape == want.shape
@@ -94,3 +97,35 @@ class TestQuantizedBundle:
         got = np.asarray(model.run(jnp.asarray(images))[0])
         want = np.asarray(qm.result(jnp.asarray(images)))
         np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+class TestCalibration:
+    def test_percentile_clips_outliers(self, setup):
+        cfg, params, images = setup
+        from ssd_tensorflow_tpu.models.quantized import (
+            calibrate_activation_scales,
+        )
+
+        s100 = calibrate_activation_scales(params, images, cfg, percentile=100)
+        s99 = calibrate_activation_scales(params, images, cfg, percentile=99.0)
+        assert set(s100) == set(s99)
+        assert all(s99[k] <= s100[k] + 1e-9 for k in s100)
+        assert any(s99[k] < s100[k] for k in s100)
+
+    def test_multi_batch_chunking_matches_max(self, setup):
+        cfg, params, images = setup
+        import numpy as np
+
+        from ssd_tensorflow_tpu.models.quantized import (
+            calibrate_activation_scales,
+        )
+
+        many = np.concatenate([np.asarray(images)] * 3, axis=0)
+        one = calibrate_activation_scales(
+            params, images, cfg, percentile=100, batch_size=8
+        )
+        chunked = calibrate_activation_scales(
+            params, many, cfg, percentile=100, batch_size=1
+        )
+        for k in one:
+            np.testing.assert_allclose(chunked[k], one[k], rtol=1e-6)

@@ -131,3 +131,74 @@ class TestPipelineShm:
         assert batch["images"].shape == (3, 300, 300, 3)
         assert n == 3
         assert len(gt_lists) == 3
+
+
+class TestWorkerDeath:
+    def test_epoch_completes_after_sigkill(self, tmp_path):
+        """SIGKILL one augmentation worker mid-epoch: the supervisor must
+        re-queue the lost chunk and the epoch must still deliver every
+        batch (the reference hangs forever here — SURVEY §5)."""
+        pytest.importorskip("cv2")
+        import json
+        import os
+        import pickle
+        import signal
+
+        import cv2
+
+        from ssd_tensorflow_tpu.data.pipeline import TrainingData
+        from ssd_tensorflow_tpu.presets import get_preset_by_name, preset_to_dict
+        from ssd_tensorflow_tpu.types import Box, Point, Sample, Size
+
+        samples = []
+        img_dir = tmp_path / "imgs"
+        os.makedirs(img_dir)
+        for i in range(16):
+            img = np.random.default_rng(i).integers(
+                0, 255, (60, 80, 3), dtype=np.uint8
+            )
+            path = str(img_dir / f"s{i}.jpg")
+            cv2.imwrite(path, img)
+            samples.append(
+                Sample(
+                    path,
+                    [Box("cat", 0, Point(0.5, 0.5), Size(0.5, 0.5))],
+                    Size(80, 60),
+                )
+            )
+        data_dir = tmp_path / "d"
+        os.makedirs(data_dir)
+        for name, part in (("train", samples), ("valid", samples[:2])):
+            with open(data_dir / f"{name}-samples.pkl", "wb") as f:
+                pickle.dump(part, f)
+        with open(data_dir / "training-data.json", "w") as f:
+            json.dump(
+                {
+                    "preset": preset_to_dict(get_preset_by_name("test64")),
+                    "num-classes": 1,
+                    "colors": {"cat": [0, 0, 255]},
+                    "lid2name": {"0": "cat"},
+                    "lname2id": {"cat": 0},
+                    "augmentation": {
+                        "sampler_trials": 3,
+                        "expand_probability": 0.3,
+                    },
+                },
+                f,
+            )
+        td = TrainingData(str(data_dir))
+
+        before = set(p.pid for p in mp.active_children())
+        gen = td.train_generator(2, num_workers=2, use_shm=True)
+        batches = [next(gen)]
+        victims = [
+            p for p in mp.active_children() if p.pid not in before
+        ]
+        assert victims, "expected live shm workers"
+        os.kill(victims[0].pid, signal.SIGKILL)
+
+        batches.extend(gen)
+        assert len(batches) == 8  # 16 samples / batch 2: every chunk arrived
+        for batch, gt_lists, n in batches:
+            assert batch["images"].shape == (2, 64, 64, 3)
+            assert n == 2
