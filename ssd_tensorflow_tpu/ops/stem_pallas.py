@@ -1,0 +1,228 @@
+"""Fused conv1_2 + pool1 as a Pallas TPU kernel (the "split stem").
+
+The vgg512 batch-64 stem (preprocess + conv1_1 + conv1_2 + pool1) costs
+~28 ms in XLA even width-packed (models/packed_conv.py): conv1_2
+round-trips its 2.1 GB activation through HBM (16 ms) and pool1 runs as
+a slow reduce_window (10 ms) — see tools/stem_experiments.py. This
+module keeps the cheap part in XLA and fuses the expensive part:
+
+  * XLA: preprocess (flat-layout mean subtraction) + the width-packed
+    conv1_1 (3->64 real channels, 128 packed lanes). Its HBM write is
+    the unavoidable hand-off (~5.5 ms measured, mostly the 2.1 GB
+    activation write).
+  * Pallas: conv1_2 (nine packed 3x3 tap matmuls, K=128, f32
+    accumulation) + ReLU + pool1, with conv1_2's activation never
+    touching HBM. Only pool1's 0.5 GB output is written.
+
+Measured: the kernel runs at ~16.4 ms — the packed tap matmuls' MXU
+floor is 12.6 ms (2.42 GFLOP/step at the v5e's 197 TFLOP/s bf16 peak;
+width-packing doubles nominal FLOPs in exchange for full lane
+utilization) — for a stem total of ~22 ms.
+
+Halo handling without copies: each grid step needs conv1_1 rows
+[32t-1, 32t+33) — one row beyond its 32-row block on each side. Rather
+than stacking overlapped tiles in XLA (a 2.3 GB copy) or hand-rolling
+DMA, the same conv1_1 array is passed THREE times with different
+BlockSpec index maps: the 32-row body at row-block t, plus two 2-row
+halo blocks reaching into the neighbours (indices clamped at the
+edges; the out-of-image rows are zeroed in-kernel, because conv1_2's
+SAME padding needs zeros there, not neighbouring garbage or
+relu(bias)). Pallas pipelines all three streams automatically.
+
+Several rejected designs, for the record (all measured slower):
+in-kernel preprocess+im2col on (..., 6)-channel arrays runs at 6/128
+VPU lane utilization (40 ms); an XLA-side conv1_1 im2col to K=64
+either OOMs HBM (XLA pads the (..., 6)-minor intermediates 21x) or
+streams 1.16 GB per pass; width-unpacking inside the kernel needs a
+lane-unflatten reshape Mosaic does not support.
+
+Inference-only (no custom VJP); training keeps the differentiable XLA
+stem. Reference for the math: ssdvgg.py:202-204 (conv1_1/conv1_2),
+pool1 2x2/s2.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ssd_tensorflow_tpu.models.layers import conv2d
+from ssd_tensorflow_tpu.models.packed_conv import (
+    pack_conv3x3_weights,
+    preprocess_flat,
+)
+
+#: conv1_2 output rows computed per grid step
+_TILE = 32
+
+
+def _stem_kernel(body_ref, top_ref, bot_ref, b1_ref, w2_ref, b2_ref,
+                 out_ref, c1_ref, *, h_valid, wp, out_dtype):
+    """One (image, row-tile) step.
+
+    body_ref: (1, 1, _TILE, wp, 128) bf16 — raw conv1_1 rows
+              [32t, 32t+32) (no bias/relu yet — the XLA conv emits the
+              bare conv so its output fuses into nothing and is
+              materialized exactly once; bias+relu happen here)
+    top_ref:  (1, 1, 2, wp, 128) bf16 — rows [32t-2, 32t) (t=0: junk,
+              masked below)
+    bot_ref:  (1, 1, 2, wp, 128) bf16 — rows [32t+32, 32t+34) (t=T-1:
+              junk, masked below)
+    b1_ref:   (1, 128) f32 — packed conv1_1 bias
+    w2_ref:   (3, 3, 128, 128) bf16 — packed conv1_2 weights
+    b2_ref:   (1, 128) f32 — packed conv1_2 bias
+    out_ref:  (1, _TILE//2, wp, 64) — pool1 output tile
+    c1_ref:   (_TILE+2, wp+2, 128) bf16 scratch — assembled rows + halo
+    """
+    t = pl.program_id(1)
+    b1 = b1_ref[0, :]
+
+    # assemble [row 32t-1 | body | row 32t+32], apply bias+relu, and
+    # zero every row outside the real image (those are conv1_2's SAME
+    # padding; the clamped halo blocks carry neighbouring garbage
+    # there, and computing relu(bias) would also be wrong)
+    y1 = jnp.concatenate(
+        [top_ref[0, 0, 1:2], body_ref[0, 0], bot_ref[0, 0, 0:1]], axis=0
+    )
+    y1 = jax.nn.relu(y1.astype(jnp.float32) + b1).astype(jnp.bfloat16)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (_TILE + 2, 1, 1), 0)
+    rows = _TILE * t - 1 + s_idx
+    valid = jnp.logical_and(rows >= 0, rows < h_valid)
+    c1_ref[:, 1:wp + 1, :] = jnp.where(
+        valid, y1, jnp.bfloat16(0)
+    )
+    c1_ref[:, 0:1, :] = jnp.zeros((_TILE + 2, 1, 128), jnp.bfloat16)
+    c1_ref[:, wp + 1:, :] = jnp.zeros((_TILE + 2, 1, 128), jnp.bfloat16)
+
+    # conv1_2: 9 packed taps, K=128, f32 accumulation
+    acc = jnp.zeros((_TILE, wp, 128), jnp.float32)
+    for dy in range(3):
+        for dxp in range(3):
+            a = c1_ref[dy:dy + _TILE, dxp:dxp + wp, :]
+            acc = acc + jax.lax.dot_general(
+                a, w2_ref[dy, dxp],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    y2 = jax.nn.relu(acc + b2_ref[0, :])
+
+    # pool1: height via row-pair max, width via lane-half max
+    z = jnp.max(y2.reshape(_TILE // 2, 2, wp, 128), axis=1)
+    out_ref[0] = jnp.maximum(z[:, :, :64], z[:, :, 64:]).astype(out_dtype)
+
+
+def fused_stem_pallas(params, images, mean_bgr, compute_dtype,
+                      interpret: bool = False):
+    """preprocess + conv1_1 + conv1_2 + pool1, conv1_2+pool fused.
+
+    Args:
+      params: model pytree (uses ``conv1_1``/``conv1_2``).
+      images: ``(B, H, W, 3)`` raw BGR uint8/float, W even.
+      mean_bgr: channel means subtracted before conv1_1.
+      compute_dtype: conv compute/output dtype for the XLA part.
+      interpret: run in Pallas interpreter mode (CPU testing).
+
+    Returns:
+      pool1 output ``(B, H//2, W//2, 64)`` in ``compute_dtype`` —
+      same math as models/packed_conv.conv1_block_packed.
+    """
+    B, H, W, C = images.shape
+    assert C == 3 and W % 2 == 0, (H, W, C)
+    out_dtype = jnp.dtype(compute_dtype)
+    assert out_dtype == jnp.bfloat16, (
+        "fused_stem_pallas is a bf16 kernel; use the XLA stem for "
+        f"compute_dtype={compute_dtype}"
+    )
+    wp = W // 2
+
+    n_tiles = -(-H // _TILE)
+    h_pad = n_tiles * _TILE
+
+    # XLA part: preprocess + width-packed conv1_1 (+ row padding to a
+    # whole number of tiles; the padded rows are exact zeros, which is
+    # what conv1_2's SAME padding needs at the bottom edge)
+    x = preprocess_flat(images, mean_bgr, jnp.bfloat16)
+    w1p, b1p = pack_conv3x3_weights(params["conv1_1"]["w"],
+                                    params["conv1_1"]["b"])
+    # bare bf16-out conv, no bias/relu: one 2.1 GB materialization at
+    # the custom-call boundary (an f32-out + cast + relu chain cannot
+    # fuse into the Pallas call and costs ~12 ms in extra copies)
+    c1 = conv2d(x, w1p, None, f32_out=False)  # (B, H, wp, 128)
+    if h_pad != H:
+        c1 = jnp.pad(c1, ((0, 0), (0, h_pad - H), (0, 0), (0, 0)))
+
+    w2p, b2p = pack_conv3x3_weights(params["conv1_2"]["w"],
+                                    params["conv1_2"]["b"])
+    w2p = w2p.astype(jnp.bfloat16)
+
+    # Halo rows as SEPARATE small arrays (0.3 ms of gathers): feeding
+    # the same c1 array to three Pallas operands makes XLA insert
+    # defensive copies of the whole 2.1 GB tensor (~9 ms measured).
+    # top_halos[t] = c1 rows [32t-2, 32t), bot_halos[t] = [32t+32,
+    # 32t+34); the t=0 / t=T-1 entries are arbitrary (kernel masks).
+    c1r = c1.reshape(B, n_tiles, _TILE, wp, 128)
+    last2 = c1r[:, :, _TILE - 2:]
+    first2 = c1r[:, :, :2]
+    top_halos = jnp.concatenate([last2[:, :1], last2[:, :-1]], axis=1)
+    bot_halos = jnp.concatenate([first2[:, 1:], first2[:, -1:]], axis=1)
+
+    kernel = partial(
+        _stem_kernel, h_valid=H, wp=wp, out_dtype=out_dtype
+    )
+    half = _TILE // 2
+
+    flops = B * n_tiles * 9 * _TILE * wp * 128 * 128 * 2
+    bytes_accessed = c1.size * 2 + B * h_pad // 2 * wp * 64 * out_dtype.itemsize
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, _TILE, wp, 128),
+                         lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, wp, 128),
+                         lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, wp, 128),
+                         lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, 128, 128), lambda b, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, half, wp, 64),
+                               lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_tiles * half, wp, 64), out_dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_TILE + 2, wp + 2, 128), jnp.bfloat16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=bytes_accessed,
+            transcendentals=0,
+        ),
+        # f32 accumulators + double-buffered IO exceed the 16 MB
+        # default scoped-vmem limit; v5e has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        c1r,
+        top_halos,
+        bot_halos,
+        b1p.astype(jnp.float32).reshape(1, 128),
+        w2p,
+        b2p.astype(jnp.float32).reshape(1, 128),
+    )
+    return out[:, :H // 2]

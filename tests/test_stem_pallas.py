@@ -1,0 +1,64 @@
+"""Parity tests for the experimental fused-stem Pallas kernel.
+
+ops/stem_pallas.py is an optional inference backend (not wired into
+the default path — see its module docstring for the measured
+tradeoffs). These tests pin its math to the width-packed XLA stem it
+replaces, across edge cases the kernel handles specially: tile-exact
+heights, heights needing padding, the single-tile case, and the
+SAME-padding zero semantics at image borders.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssd_tensorflow_tpu.models.packed_conv import conv1_block_packed
+from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, init_params
+from ssd_tensorflow_tpu.ops.stem_pallas import fused_stem_pallas
+
+
+@pytest.fixture(scope="module")
+def params():
+    cfg = ModelConfig(preset_name="vgg300", num_classes=20)
+    return init_params(jax.random.PRNGKey(0), cfg)
+
+
+MEAN = (104.0, 117.0, 123.0)
+
+
+@pytest.mark.parametrize(
+    "h,w",
+    [
+        (32, 64),   # single row-tile
+        (64, 64),   # two tiles, no padding
+        (96, 64),   # three tiles
+        (300, 300), # height not a multiple of the 32-row tile (vgg300)
+    ],
+)
+def test_matches_packed_stem(params, h, w):
+    rng = np.random.default_rng(42)
+    img = jnp.asarray(rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8))
+    ref = conv1_block_packed(params, img, MEAN, "bfloat16", f32_out=True)
+    got = fused_stem_pallas(params, img, MEAN, "bfloat16", interpret=True)
+    assert got.shape == ref.shape == (2, h // 2, w // 2, 64)
+    assert got.dtype == jnp.bfloat16
+    # bf16 summation-order differences only
+    diff = jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)))
+    scale = jnp.max(jnp.abs(ref.astype(jnp.float32)))
+    assert float(diff) <= 0.005 * float(scale) + 0.25
+
+
+def test_float_input(params):
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3)), jnp.float32)
+    ref = conv1_block_packed(params, img, MEAN, "bfloat16", f32_out=True)
+    got = fused_stem_pallas(params, img, MEAN, "bfloat16", interpret=True)
+    diff = jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)))
+    assert float(diff) <= 0.5
+
+
+def test_rejects_non_bf16(params):
+    img = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+    with pytest.raises(AssertionError):
+        fused_stem_pallas(params, img, MEAN, "float32", interpret=True)
