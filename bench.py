@@ -2,9 +2,12 @@
 """Headline benchmark: batch-64 fused-NMS inference throughput on one chip.
 
 Measures the full deployed inference path — uint8 BGR batch in,
-preprocess + VGG300-SSD forward (bfloat16) + softmax + top-k decode +
+preprocess + SSD forward (bfloat16) + softmax + top-k decode +
 class-aware NMS, all inside one jitted program — and prints ONE JSON
-line. Baseline: 1000 images/sec/chip on TPU v5e (BASELINE.md).
+line. The default invocation is the baseline's stated perf config
+(BASELINE.json configs[4]): vgg512, batch 64, fused on-device NMS,
+target 1000 images/sec/chip on TPU v5e. Use --preset vgg300 for the
+smaller flagship (which exceeds the target ~1.9x in bf16).
 
 Methodology: N data-dependent iterations are chained inside a single
 jitted fori_loop and the result fetched as a scalar, so the measurement
@@ -24,7 +27,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=64)
-    parser.add_argument("--preset", default="vgg300")
+    parser.add_argument("--preset", default="vgg512")
     parser.add_argument("--iters", type=int, default=10, help="chained iterations per timing")
     parser.add_argument("--repeats", type=int, default=3, help="timings; best is reported")
     parser.add_argument("--compute-dtype", default="bfloat16")
