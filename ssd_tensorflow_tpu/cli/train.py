@@ -97,6 +97,15 @@ def build_parser():
         help="data-parallel mesh size (0 = all devices)",
     )
     parser.add_argument(
+        "--device-augment", type=str2bool, default="False",
+        help="run the SSD augmentation chain on device (the host only "
+        "decodes + resizes; data/device_augment.py)",
+    )
+    parser.add_argument(
+        "--augment-seed", type=int, default=0,
+        help="PRNG seed for on-device augmentation",
+    )
+    parser.add_argument(
         "--profile-dir", default=None,
         help="write a jax profiler trace of a few steps to this directory",
     )
@@ -105,6 +114,22 @@ def build_parser():
         help="start a jax.profiler server on this port (0 = off)",
     )
     return parser
+
+
+def _gt_box_lists(gt_boxes, gt_labels, gt_mask, lid2name, num_real):
+    """Fixed-shape (B, G, ...) gt arrays -> per-image Box lists (for the
+    AP accounting when the ground truth was augmented on device)."""
+    from ssd_tensorflow_tpu.types import Box, Point, Size
+
+    out = []
+    for i in range(num_real):
+        boxes = []
+        for j in np.nonzero(gt_mask[i])[0]:
+            cx, cy, w, h = (float(v) for v in gt_boxes[i, j])
+            lid = int(gt_labels[i, j])
+            boxes.append(Box(lid2name[lid], lid, Point(cx, cy), Size(w, h)))
+        out.append(boxes)
+    return out
 
 
 def _losses_for_summary(losses, batch_size, num_real):
@@ -265,6 +290,20 @@ def main(argv=None):
     train_step = make_train_step(train_cfg, anchors)
     eval_step = make_eval_step(train_cfg, anchors)
 
+    augment_fn = None
+    if args.device_augment:
+        import jax.random as jrandom
+
+        from ssd_tensorflow_tpu.data.device_augment import (
+            augment_config_for,
+            make_augment_fn,
+        )
+
+        aug_cfg = augment_config_for(td.preset, td.augmentation)
+        augment_fn = make_augment_fn(aug_cfg, anchors)
+        aug_base_key = jrandom.PRNGKey(args.augment_seed)
+        print("[i] On-device augmentation:  enabled")
+
     # ------------------------------------------------------------------
     # Summaries + checkpoints (reference: train.py:203-241)
     # ------------------------------------------------------------------
@@ -309,18 +348,27 @@ def main(argv=None):
         pending_losses = []  # device scalars; fetched once per epoch
         # producer thread overlaps augmentation + H2D with device compute
         generator = prefetch_to_device(
-            td.train_generator(local_batch_size, args.num_workers),
+            td.train_generator(
+                local_batch_size, args.num_workers,
+                raw=augment_fn is not None,
+            ),
             size=2,
             sharding=batch_sharding,
             transform=lambda item: (item[0], (item[1], item[2])),
             put_fn=global_put,
         )
         description = "[i] Train {:>2}/{}".format(e + 1, args.epochs)
-        for dev_batch, (gt_lists, num_real) in tqdm(
+        for batch_i, (dev_batch, (gt_lists, num_real)) in enumerate(tqdm(
             generator, total=n_train_batches, desc=description, unit="batches"
-        ):
+        )):
             if args.profile_dir and not profiled and e > start_epoch:
                 jax.profiler.start_trace(args.profile_dir)
+
+            if augment_fn is not None:
+                step_key = jrandom.fold_in(
+                    jrandom.fold_in(aug_base_key, e), batch_i
+                )
+                dev_batch = augment_fn(step_key, dev_batch)
 
             saved_images = (
                 np.asarray(dev_batch["images"][:3])
@@ -347,6 +395,15 @@ def main(argv=None):
                 from ssd_tensorflow_tpu.parallel.multihost import local_rows
 
                 dets = jax.tree_util.tree_map(local_rows, dets)
+            if augment_fn is not None:
+                # the augmented geometry lives on device; rebuild the
+                # per-image gt lists for the AP accounting
+                gt_lists = _gt_box_lists(
+                    np.asarray(dev_batch["gt_boxes"]),
+                    np.asarray(dev_batch["gt_labels"]),
+                    np.asarray(dev_batch["gt_mask"]),
+                    td.lid2name, num_real,
+                )
             boxes_per_image = detections_to_boxes(dets, td.lid2name)
             for i in range(num_real):
                 boxes = boxes_per_image[i]

@@ -197,10 +197,15 @@ class TrainingData:
     # -- generators -----------------------------------------------------
 
     def train_generator(
-        self, batch_size, num_workers=0, drop_last=True, use_shm=True
+        self, batch_size, num_workers=0, drop_last=True, use_shm=True,
+        raw=False,
     ):
+        """Training batches. With ``raw=True`` the host only stages
+        (decode + resize, no augmentation, no resampling) — for the
+        on-device augmentation path (data/device_augment.py), which
+        runs the SSD chain on the TPU instead."""
         return self.__generate(
-            self.train_samples, True, batch_size, num_workers, drop_last,
+            self.train_samples, not raw, batch_size, num_workers, drop_last,
             shuffle=True, use_shm=use_shm,
         )
 

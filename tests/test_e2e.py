@@ -197,3 +197,29 @@ def test_stablehlo_export_roundtrip():
     assert out.shape == (1, 372, 8)
     want = np.asarray(fn(jnp.zeros((1, 64, 64, 3), jnp.uint8)))
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+@pytest.mark.e2e
+def test_train_with_device_augment(dataset, tmp_path):
+    """The train CLI with --device-augment: host stages, TPU augments."""
+    root, data_dir, samples = dataset
+    name = str(tmp_path / "proj-da")
+    tb_dir = str(tmp_path / "tb-da")
+
+    from ssd_tensorflow_tpu.cli.train import main as train_main
+
+    rc = train_main(
+        [
+            "--name", name,
+            "--data-dir", data_dir,
+            "--epochs", "2",
+            "--batch-size", "4",
+            "--tensorboard-dir", tb_dir,
+            "--checkpoint-interval", "2",
+            "--num-workers", "0",
+            "--compute-dtype", "float32",
+            "--device-augment", "yes",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(name, "final.ckpt.npz"))
