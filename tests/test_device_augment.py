@@ -335,3 +335,42 @@ class TestAugmentBatch:
         np.testing.assert_array_equal(
             np.asarray(out["gt_mask"][1]), np.asarray(ref_mask)
         )
+
+
+class TestShardedAugment:
+    def test_augment_on_8way_mesh_matches_single_device(self, rng):
+        """The augmentation stage partitions over the data axis of a mesh
+        with no semantic change (SPMD: per-image keys, no cross-image
+        communication)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ssd_tensorflow_tpu.parallel.mesh import make_mesh
+
+        preset = get_preset_by_name("test64")
+        anchors = anchors_for_preset(preset)
+        cfg = augment_config_for(preset, {"sampler_trials": 4})
+        fn = make_augment_fn(cfg, anchors)
+        B, G = 8, 3
+        batch = {
+            "images": jnp.asarray(
+                rng.integers(0, 256, (B, 64, 64, 3), dtype=np.uint8)
+            ),
+            "gt_boxes": jnp.asarray(
+                rng.uniform(0.3, 0.6, (B, G, 4)).astype(np.float32)
+            ),
+            "gt_labels": jnp.zeros((B, G), jnp.int32),
+            "gt_mask": jnp.ones((B, G), bool),
+        }
+        want = jax.tree_util.tree_map(np.asarray, fn(jax.random.PRNGKey(5), batch))
+
+        mesh = make_mesh(data=8)
+        sharding = NamedSharding(mesh, P("data"))
+        sharded = jax.device_put(batch, sharding)
+        got = fn(jax.random.PRNGKey(5), sharded)
+        assert len(got["images"].sharding.device_set) == 8
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]).astype(np.float32),
+                want[k].astype(np.float32),
+                atol=1.0 if k == "images" else 1e-5,
+            )
