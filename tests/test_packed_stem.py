@@ -153,3 +153,4 @@ class TestScoresPath:
             np.asarray(conf), fg.max(-1), rtol=1e-4, atol=1e-5
         )
         np.testing.assert_array_equal(np.asarray(cls), fg.argmax(-1))
+
