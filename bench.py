@@ -36,6 +36,11 @@ def main():
         help="run the int8 W8A8 deploy path (models/quantized.py)",
     )
     parser.add_argument("--mode", default="inference", choices=["inference", "train"])
+    parser.add_argument(
+        "--device-augment", action="store_true",
+        help="train mode: include the on-device augmentation stage "
+        "(data/device_augment.py) in the timed step",
+    )
     args = parser.parse_args()
 
     import jax
@@ -136,16 +141,49 @@ def main():
             "gt_labels": jnp.zeros((args.batch_size, 8), jnp.int32),
             "gt_mask": jnp.ones((args.batch_size, 8), bool),
         }
-        state, losses, _ = step(state, batch)  # compile
-        float(losses["total"])
-        best = float("inf")
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                state, losses, _ = step(state, batch)
-            float(losses["total"])  # state chain forces sequencing
-            best = min(best, (time.perf_counter() - t0) / args.iters)
-        metric = f"{args.preset}_batch{args.batch_size}_train_step"
+        if args.device_augment:
+            from ssd_tensorflow_tpu.data.device_augment import (
+                AugmentConfig,
+                make_augment_fn,
+            )
+
+            augment = make_augment_fn(
+                AugmentConfig(out_h=h, out_w=w), np.asarray(anchors)
+            )
+            raw_batch, base_key = batch, jax.random.PRNGKey(0)
+
+            def step_all(state, key):
+                return step(state, augment(key, raw_batch))
+
+            def run_once(state):
+                # chain augment+train steps; the state dependency forces
+                # sequential execution
+                for i in range(args.iters):
+                    key = jax.random.fold_in(base_key, i)
+                    state, losses, _ = step_all(state, key)
+                return state, losses
+
+            state, losses = run_once(state)  # compile + warm
+            float(losses["total"])
+            best = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                state, losses = run_once(state)
+                float(losses["total"])
+                best = min(best, (time.perf_counter() - t0) / args.iters)
+            kind = "augmented_train_step"
+        else:
+            state, losses, _ = step(state, batch)  # compile
+            float(losses["total"])
+            best = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    state, losses, _ = step(state, batch)
+                float(losses["total"])  # state chain forces sequencing
+                best = min(best, (time.perf_counter() - t0) / args.iters)
+            kind = "train_step"
+        metric = f"{args.preset}_batch{args.batch_size}_{kind}"
         baseline = 100.0  # img/s; the 2017-era reference trained ~batch-8/GPU
 
     images_per_sec = args.batch_size / best

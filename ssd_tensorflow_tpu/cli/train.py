@@ -370,9 +370,11 @@ def main(argv=None):
                 )
                 dev_batch = augment_fn(step_key, dev_batch)
 
+            # (epoch 0 skips the AP/image accounting entirely — don't pay
+            # a host sync per batch for images that are never used)
             saved_images = (
                 np.asarray(dev_batch["images"][:3])
-                if len(training_imgs_samples) < 3
+                if e > 0 and len(training_imgs_samples) < 3
                 else None
             )
             state, losses, dets = train_step(state, dev_batch)
@@ -397,13 +399,13 @@ def main(argv=None):
                 dets = jax.tree_util.tree_map(local_rows, dets)
             if augment_fn is not None:
                 # the augmented geometry lives on device; rebuild the
-                # per-image gt lists for the AP accounting
-                gt_lists = _gt_box_lists(
-                    np.asarray(dev_batch["gt_boxes"]),
-                    np.asarray(dev_batch["gt_labels"]),
-                    np.asarray(dev_batch["gt_mask"]),
-                    td.lid2name, num_real,
+                # per-image gt lists for the AP accounting (one combined
+                # fetch — every host sync pays a full tunnel round trip)
+                gt_host = jax.device_get(
+                    (dev_batch["gt_boxes"], dev_batch["gt_labels"],
+                     dev_batch["gt_mask"])
                 )
+                gt_lists = _gt_box_lists(*gt_host, td.lid2name, num_real)
             boxes_per_image = detections_to_boxes(dets, td.lid2name)
             for i in range(num_real):
                 boxes = boxes_per_image[i]

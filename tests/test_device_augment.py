@@ -259,8 +259,9 @@ class TestAugmentImage:
         boxes = jnp.asarray([[0.5, 0.5, 0.4, 0.4], [0.2, 0.8, 0.1, 0.15]])
         labels = jnp.asarray([1, 2])
         mask = jnp.asarray([True, True])
+        fn = jax.jit(augment_image, static_argnums=(6,))
         for seed in range(16):
-            _, out_boxes, _, out_mask = augment_image(
+            _, out_boxes, _, out_mask = fn(
                 jax.random.PRNGKey(seed), img, boxes, labels, mask,
                 jnp.asarray(self.ANCHORS), small_cfg(ensure_positive=False),
             )
@@ -281,8 +282,9 @@ class TestAugmentImage:
         from ssd_tensorflow_tpu.ops.matching import has_positive_anchor
 
         cfg = small_cfg(expand_prob=1.0)  # aggressive shrink without fallback
+        fn = jax.jit(augment_image, static_argnums=(6,))
         for seed in range(12):
-            _, out_boxes, _, out_mask = augment_image(
+            _, out_boxes, _, out_mask = fn(
                 jax.random.PRNGKey(seed), img, boxes, labels, mask,
                 anchors, cfg,
             )
