@@ -81,7 +81,7 @@ def make_train_state(params, cfg: TrainConfig, step: int = 0) -> TrainState:
     )
 
 
-def _loss_and_aux(params, batch, anchors, cfg: TrainConfig):
+def _loss_and_aux(params, batch, anchors, cfg: TrainConfig, forward=None):
     mc = cfg.model
     labels = encode_targets_batch(
         batch["gt_boxes"],
@@ -91,15 +91,15 @@ def _loss_and_aux(params, batch, anchors, cfg: TrainConfig):
         mc.num_classes,
     )
     labels = jax.lax.stop_gradient(labels)
+    if forward is None:
+        forward = lambda p, x: apply_model(p, x, mc)
     if cfg.remat:
         from ssd_tensorflow_tpu.parallel.remat import checkpoint_dots_only
 
-        fwd = checkpoint_dots_only(
-            lambda p, x: apply_model(p, x, mc)
-        )
+        fwd = checkpoint_dots_only(forward)
         logits, locs = fwd(params, batch["images"])
     else:
-        logits, locs = apply_model(params, batch["images"], mc)
+        logits, locs = forward(params, batch["images"])
     losses = multibox_loss(logits, locs, labels, mc.num_classes)
     l2 = cfg.weight_decay * l2_regularizer(params)
     total = losses["confidence"] + losses["localization"] + l2
@@ -123,12 +123,16 @@ def _maybe_detect(aux, anchors, cfg: TrainConfig):
     return decode_detections(probs, aux["locs"], anchors, cfg.detect)
 
 
-def make_train_step(cfg: TrainConfig, anchors, donate: bool = True):
+def make_train_step(
+    cfg: TrainConfig, anchors, donate: bool = True, forward=None
+):
     """Build the jitted train step.
 
     ``(state, batch) -> (state, losses, detections)`` where batch is a
     dict of ``images (B,H,W,3)``, ``gt_boxes (B,G,4)``,
-    ``gt_labels (B,G)``, ``gt_mask (B,G)``.
+    ``gt_labels (B,G)``, ``gt_mask (B,G)``. ``forward`` overrides the
+    model forward pass ``(params, images) -> (logits, locs)`` (e.g. the
+    fake-quant QAT forward, models/qat.py).
 
     Sharding follows the data ("computation follows data"): place the
     state with :func:`shard_state` and the batch with
@@ -141,7 +145,7 @@ def make_train_step(cfg: TrainConfig, anchors, donate: bool = True):
 
     def step_fn(state: TrainState, batch):
         grad_fn = jax.value_and_grad(_loss_and_aux, has_aux=True)
-        (_, aux), grads = grad_fn(state.params, batch, anchors, cfg)
+        (_, aux), grads = grad_fn(state.params, batch, anchors, cfg, forward)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
