@@ -97,6 +97,12 @@ def build_parser():
         help="data-parallel mesh size (0 = all devices)",
     )
     parser.add_argument(
+        "--qat", type=str2bool, default="False",
+        help="quantization-aware training: train through the int8 "
+        "fake-quantizer (models/qat.py; forces --compute-dtype float32; "
+        "activation scales calibrate on the first validation batches)",
+    )
+    parser.add_argument(
         "--device-augment", type=str2bool, default="False",
         help="run the SSD augmentation chain on device (the host only "
         "decodes + resizes; data/device_augment.py)",
@@ -215,6 +221,9 @@ def main(argv=None):
         print("[!] need one more lr value than boundaries")
         return 1
 
+    if args.qat and args.compute_dtype != "float32":
+        print("[i] QAT forces --compute-dtype float32 (exact-integer math)")
+        args.compute_dtype = "float32"
     model_cfg = ModelConfig(
         preset_name=td.preset.name,
         num_classes=td.num_classes,
@@ -287,7 +296,27 @@ def main(argv=None):
     else:
         global_put = None
 
-    train_step = make_train_step(train_cfg, anchors)
+    if args.qat:
+        from ssd_tensorflow_tpu.models.qat import make_qat_train_step
+        from ssd_tensorflow_tpu.models.quantized import (
+            calibrate_activation_scales,
+        )
+
+        calib = []
+        for batch, _, n in td.valid_generator(
+            local_batch_size, num_workers=0
+        ):
+            calib.append(batch["images"][:n])
+            if sum(c.shape[0] for c in calib) >= 32:
+                break
+        calib = np.concatenate(calib)[:32]
+        print(f"[i] QAT: calibrating int8 scales on {calib.shape[0]} images")
+        act_scales = calibrate_activation_scales(
+            state.params, calib, model_cfg
+        )
+        train_step = make_qat_train_step(train_cfg, anchors, act_scales)
+    else:
+        train_step = make_train_step(train_cfg, anchors)
     eval_step = make_eval_step(train_cfg, anchors)
 
     augment_fn = None

@@ -223,3 +223,29 @@ def test_train_with_device_augment(dataset, tmp_path):
     )
     assert rc == 0
     assert os.path.exists(os.path.join(name, "final.ckpt.npz"))
+
+
+@pytest.mark.e2e
+@pytest.mark.slow
+def test_train_with_qat(dataset, tmp_path):
+    """The train CLI with --qat: calibrates, then trains through the
+    int8 fake-quantizer."""
+    root, data_dir, samples = dataset
+    name = str(tmp_path / "proj-qat")
+
+    from ssd_tensorflow_tpu.cli.train import main as train_main
+
+    rc = train_main(
+        [
+            "--name", name,
+            "--data-dir", data_dir,
+            "--epochs", "2",
+            "--batch-size", "4",
+            "--tensorboard-dir", str(tmp_path / "tb-qat"),
+            "--checkpoint-interval", "2",
+            "--num-workers", "0",
+            "--qat", "yes",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(name, "final.ckpt.npz"))
