@@ -47,11 +47,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from ssd_tensorflow_tpu.models.ssd_vgg import (
-        ModelConfig,
-        apply_result,
-        init_params,
-    )
+    from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, init_params
     from ssd_tensorflow_tpu.ops.anchors import anchors_for_preset
     from ssd_tensorflow_tpu.ops.postprocess import (
         DetectionConfig,

@@ -196,6 +196,7 @@ def main(argv=None):
     # ------------------------------------------------------------------
     n_proc = jax.process_count()
     local_batch_size = args.batch_size
+    pre_shard_valid = td.valid_samples
     if n_proc > 1:
         from ssd_tensorflow_tpu.parallel.multihost import process_shard
 
@@ -204,8 +205,15 @@ def main(argv=None):
                   f"{n_proc} processes")
             return 1
         local_batch_size = args.batch_size // n_proc
-        td.train_samples = process_shard(td.train_samples)
-        td.valid_samples = process_shard(td.valid_samples)
+        # every process MUST produce the same number of batches per
+        # epoch — the train/eval steps are collective SPMD programs, so
+        # one process dispatching an extra step hangs the job. Truncate
+        # all shards to the minimum shard length (drops < n_proc
+        # samples per epoch).
+        train_len = len(td.train_samples) // n_proc
+        valid_len = len(td.valid_samples) // n_proc
+        td.train_samples = process_shard(td.train_samples)[:train_len]
+        td.valid_samples = process_shard(td.valid_samples)[:valid_len]
         td.num_train = len(td.train_samples)
         td.num_valid = len(td.valid_samples)
         print(f"[i] Multi-host: process {jax.process_index()}/{n_proc}, "
@@ -302,6 +310,16 @@ def main(argv=None):
             calibrate_activation_scales,
         )
 
+        if not pre_shard_valid:
+            print("[!] QAT needs validation images to calibrate int8 "
+                  "scales; re-run process_dataset with "
+                  "--validation-fraction > 0")
+            return 1
+        # calibrate on the UN-sharded validation list: the scales become
+        # compile-time constants of the SPMD step, so every process must
+        # derive identical values (valid_generator is deterministic)
+        sharded_valid = td.valid_samples
+        td.valid_samples = pre_shard_valid
         calib = []
         for batch, _, n in td.valid_generator(
             local_batch_size, num_workers=0
@@ -309,6 +327,7 @@ def main(argv=None):
             calib.append(batch["images"][:n])
             if sum(c.shape[0] for c in calib) >= 32:
                 break
+        td.valid_samples = sharded_valid
         calib = np.concatenate(calib)[:32]
         print(f"[i] QAT: calibrating int8 scales on {calib.shape[0]} images")
         act_scales = calibrate_activation_scales(
@@ -400,12 +419,18 @@ def main(argv=None):
                 dev_batch = augment_fn(step_key, dev_batch)
 
             # (epoch 0 skips the AP/image accounting entirely — don't pay
-            # a host sync per batch for images that are never used)
-            saved_images = (
-                np.asarray(dev_batch["images"][:3])
-                if e > 0 and len(training_imgs_samples) < 3
-                else None
-            )
+            # a host sync per batch for images that are never used; under
+            # multi-host, only this process's rows are addressable)
+            saved_images = None
+            if e > 0 and len(training_imgs_samples) < 3:
+                if n_proc > 1:
+                    from ssd_tensorflow_tpu.parallel.multihost import (
+                        local_rows,
+                    )
+
+                    saved_images = local_rows(dev_batch["images"])[:3]
+                else:
+                    saved_images = np.asarray(dev_batch["images"][:3])
             state, losses, dets = train_step(state, dev_batch)
             timer.step(num_real)
 
@@ -429,11 +454,22 @@ def main(argv=None):
             if augment_fn is not None:
                 # the augmented geometry lives on device; rebuild the
                 # per-image gt lists for the AP accounting (one combined
-                # fetch — every host sync pays a full tunnel round trip)
-                gt_host = jax.device_get(
-                    (dev_batch["gt_boxes"], dev_batch["gt_labels"],
-                     dev_batch["gt_mask"])
-                )
+                # fetch — every host sync pays a full tunnel round trip;
+                # under multi-host only local rows are addressable)
+                if n_proc > 1:
+                    from ssd_tensorflow_tpu.parallel.multihost import (
+                        local_rows,
+                    )
+
+                    gt_host = tuple(
+                        local_rows(dev_batch[k])
+                        for k in ("gt_boxes", "gt_labels", "gt_mask")
+                    )
+                else:
+                    gt_host = jax.device_get(
+                        (dev_batch["gt_boxes"], dev_batch["gt_labels"],
+                         dev_batch["gt_mask"])
+                    )
                 gt_lists = _gt_box_lists(*gt_host, td.lid2name, num_real)
             boxes_per_image = detections_to_boxes(dets, td.lid2name)
             for i in range(num_real):
@@ -445,8 +481,14 @@ def main(argv=None):
         for losses, num_real in jax.device_get(pending_losses):
             if math.isnan(float(losses["confidence"])):
                 print("[!] Confidence loss is NaN.")
+            # losses are means over the GLOBAL batch; scale by the global
+            # real count (shards are equalized, so local*n_proc is exact
+            # for full train batches)
             training_loss.add(
-                _losses_for_summary(losses, args.batch_size, num_real), num_real
+                _losses_for_summary(
+                    losses, args.batch_size, num_real * n_proc
+                ),
+                num_real,
             )
         steps_s, imgs_s = timer.rates()
         print(
@@ -476,18 +518,27 @@ def main(argv=None):
                 from ssd_tensorflow_tpu.parallel.multihost import local_rows
 
                 dets = jax.tree_util.tree_map(local_rows, dets)
+                host_images = local_rows(dev_batch["images"])
+            else:
+                host_images = None
             boxes_per_image = detections_to_boxes(dets, td.lid2name)
             for i in range(num_real):
                 boxes = boxes_per_image[i]
                 validation_ap_calc.add_detections(gt_lists[i], boxes)
                 if len(validation_imgs_samples) < 3:
-                    validation_imgs_samples.append(
-                        (np.asarray(dev_batch["images"][i]), boxes)
+                    img_i = (
+                        host_images[i]
+                        if host_images is not None
+                        else np.asarray(dev_batch["images"][i])
                     )
+                    validation_imgs_samples.append((img_i, boxes))
 
         for losses, num_real in jax.device_get(pending_losses):
             validation_loss.add(
-                _losses_for_summary(losses, args.batch_size, num_real), num_real
+                _losses_for_summary(
+                    losses, args.batch_size, num_real * n_proc
+                ),
+                num_real,
             )
 
         # -- summaries (reference: train.py:308-331) --------------------

@@ -337,10 +337,16 @@ class TrainingData:
                 try:
                     batch, (idx, gt_lists, n) = batch_queue.get(timeout=5)
                 except q.Empty:
-                    dead = [p for p in workers if not p.is_alive()]
+                    # a worker that drained the sample queue exits 0 —
+                    # that's completion, not death; only respawn for
+                    # abnormal exits (crash/SIGKILL)
+                    dead = [
+                        p for p in workers
+                        if not p.is_alive() and p.exitcode not in (0, None)
+                    ]
                     alive = [p for p in workers if p.is_alive()]
                     if not dead:
-                        continue  # just a slow batch
+                        continue  # just a slow batch (or clean exits)
                     if respawns >= 3 * num_workers:
                         raise RuntimeError(
                             "augmentation workers keep dying "

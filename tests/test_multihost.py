@@ -97,3 +97,24 @@ class TestPrefetchPutFn:
             np.testing.assert_array_equal(
                 np.asarray(dev["x"]), np.full((8, 2), i, np.float32)
             )
+
+
+class TestShardEqualization:
+    def test_truncated_shards_are_equal(self):
+        """The train CLI truncates every shard to len//pc so all
+        processes produce identical per-epoch batch counts (a mismatch
+        deadlocks the collective SPMD step)."""
+        from ssd_tensorflow_tpu.parallel.multihost import process_shard
+
+        items = list(range(23))
+        for pc in (2, 3, 4, 5):
+            want = len(items) // pc
+            lens = [
+                len(process_shard(items, pi, pc)[:want]) for pi in range(pc)
+            ]
+            assert lens == [want] * pc
+            # and nothing is counted twice
+            seen = [
+                x for pi in range(pc) for x in process_shard(items, pi, pc)[:want]
+            ]
+            assert len(set(seen)) == len(seen)

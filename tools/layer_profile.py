@@ -150,27 +150,19 @@ def build_stages(config: ModelConfig, fine: bool):
 
 
 def time_prefix(stages, k, params, images, iters, repeats):
+    from _timing import time_chained
+
     fns = [f for _, f in stages[:k]]
 
     def run(p, x):
         s = {}
         for f in fns:
             x, s = f(p, x, s)
+        if isinstance(x, tuple):
+            x = x[0]
         return jnp.sum(x.astype(jnp.float32))
 
-    def chained(p, x):
-        def body(i, acc):
-            return acc + run(p, x + (acc * 0).astype(x.dtype))
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    fn = jax.jit(chained)
-    float(fn(params, images))  # compile + warm
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(fn(params, images))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    return time_chained(run, params, images, iters, repeats)
 
 
 def main():

@@ -83,22 +83,27 @@ def build_stages(config):
     nv = config.num_vars
 
     def heads(p, x, s):
+        # cells-minor reduction layout — keep in lockstep with
+        # models/ssd_vgg.apply_scores (the shipped path this times)
         confs, clss, locss = [], [], []
         for i, (fmap, m) in enumerate(zip(s["maps"], preset.maps)):
             hp = p[f"classifier{i}"]
             y = conv2d(fmap, hp["w"], hp["b"], f32_out=True)
             b, h, w, _ = y.shape
             y = y.reshape(b, h * w, m.num_shapes, nv)
-            logits = y[..., : K + 1]
-            fg = logits[..., :K]
-            cls_m = jnp.argmax(fg, axis=-1).astype(jnp.int32)
-            mx = jnp.max(logits, axis=-1).astype(jnp.float32)
-            se = jnp.sum(jnp.exp(logits.astype(jnp.float32) - mx[..., None]), axis=-1)
-            conf_m = jnp.exp(jnp.max(fg, axis=-1).astype(jnp.float32) - mx) / se
-            locs_m = y[..., K + 1:]
-            confs.append(jnp.transpose(conf_m, (0, 2, 1)).reshape(b, -1))
-            clss.append(jnp.transpose(cls_m, (0, 2, 1)).reshape(b, -1))
-            locss.append(jnp.transpose(locs_m, (0, 2, 1, 3)).reshape(b, -1, 4))
+            y = jnp.transpose(y, (0, 2, 3, 1))  # (B, ns, nv, hw)
+            logits = y[:, :, : K + 1, :]
+            fg = logits[:, :, :K, :]
+            cls_m = jnp.argmax(fg, axis=2).astype(jnp.int32)
+            mx = jnp.max(logits, axis=2).astype(jnp.float32)
+            se = jnp.sum(
+                jnp.exp(logits.astype(jnp.float32) - mx[:, :, None, :]), axis=2
+            )
+            conf_m = jnp.exp(jnp.max(fg, axis=2).astype(jnp.float32) - mx) / se
+            locs_m = jnp.transpose(y[:, :, K + 1 :, :], (0, 1, 3, 2))
+            confs.append(conf_m.reshape(b, -1))
+            clss.append(cls_m.reshape(b, -1))
+            locss.append(locs_m.reshape(b, -1, 4))
         s = dict(s)
         s["scores"] = (
             jnp.concatenate(confs, 1), jnp.concatenate(clss, 1), jnp.concatenate(locss, 1))
@@ -117,6 +122,8 @@ def build_stages(config):
 
 
 def time_prefix(stages, k, params, images, iters, repeats):
+    from _timing import time_chained
+
     fns = [f for _, f in stages[:k]]
 
     def run(p, x):
@@ -125,19 +132,7 @@ def time_prefix(stages, k, params, images, iters, repeats):
             x, s = f(p, x, s)
         return jnp.sum(x.astype(jnp.float32))
 
-    def chained(p, x):
-        def body(i, acc):
-            return acc + run(p, x + (acc * 0).astype(x.dtype))
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    fn = jax.jit(chained)
-    float(fn(params, images))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(fn(params, images))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    return time_chained(run, params, images, iters, repeats)
 
 
 def main():
