@@ -51,7 +51,7 @@ def main():
     from ssd_tensorflow_tpu.ops.anchors import anchors_for_preset
     from ssd_tensorflow_tpu.ops.postprocess import (
         DetectionConfig,
-        decode_detections,
+        decode_scores,
     )
     from ssd_tensorflow_tpu.presets import get_preset_by_name
 
@@ -63,7 +63,6 @@ def main():
     params = init_params(jax.random.PRNGKey(0), config)
     anchors = jnp.asarray(anchors_for_preset(get_preset_by_name(args.preset)))
     det_cfg = DetectionConfig(top_k=200, confidence_threshold=0.01)
-    K = config.num_classes
 
     h, w = config.preset.image_size.h, config.preset.image_size.w
     rng = np.random.default_rng(0)
@@ -75,7 +74,7 @@ def main():
         if args.quantized:
             from ssd_tensorflow_tpu.models.quantized import (
                 QuantizedModel,
-                _forward,
+                _forward_scores,
             )
 
             calib = jnp.asarray(
@@ -86,15 +85,12 @@ def main():
             scales = qm.act_scales
 
             def one_step(p, x):
-                r = _forward(p, scales, x, config)
-                d = decode_detections(
-                    r[..., : K + 1], r[..., K + 1 :], anchors, det_cfg
-                )
+                conf, cls, locs = _forward_scores(p, scales, x, config)
+                d = decode_scores(conf, cls, locs, anchors, det_cfg)
                 return d.scores.sum()
 
         else:
             from ssd_tensorflow_tpu.models.ssd_vgg import apply_scores
-            from ssd_tensorflow_tpu.ops.postprocess import decode_scores
 
             def one_step(p, x):
                 conf, cls, locs = apply_scores(p, x, config)

@@ -79,8 +79,8 @@ def _qconv(qp, x, act_scale, stride=1, padding="SAME", dilation=1, relu=True):
 _POOL_AFTER = {"conv1_2", "conv2_2", "conv3_3", "conv4_3"}
 
 
-def _forward(qparams, act_scales, images, config: ModelConfig):
-    """Quantized forward -> (B, A, K+5) result tensor (softmax'd)."""
+def _feature_maps_q(qparams, act_scales, images, config: ModelConfig):
+    """int8 backbone + extras -> the preset's multibox source maps."""
     preset = config.preset
     x = preprocess(images, config).astype(jnp.bfloat16)
 
@@ -107,7 +107,13 @@ def _forward(qparams, act_scales, images, config: ModelConfig):
         x = _qconv(qparams[name], x, act_scales[name], stride, padding)
         if name in ("conv8_2", "conv9_2", "conv10_2", "conv11_2", "conv12_2"):
             maps.append(x)
+    return maps
 
+
+def _forward(qparams, act_scales, images, config: ModelConfig):
+    """Quantized forward -> (B, A, K+5) result tensor (softmax'd)."""
+    preset = config.preset
+    maps = _feature_maps_q(qparams, act_scales, images, config)
     nv = config.num_vars
     outs = []
     for i, (fmap, m) in enumerate(zip(maps, preset.maps)):
@@ -121,6 +127,41 @@ def _forward(qparams, act_scales, images, config: ModelConfig):
     logits = out[:, :, : config.num_classes + 1]
     locs = out[:, :, config.num_classes + 1 :]
     return jnp.concatenate([jax.nn.softmax(logits, -1), locs], axis=-1)
+
+
+def _forward_scores(qparams, act_scales, images, config: ModelConfig):
+    """int8 throughput head: per-anchor ``(conf, cls, locs)``.
+
+    The int8 twin of models/ssd_vgg.apply_scores — lazy softmax with
+    the cells-minor reduction layout, so the full (B, A, K+1) softmax
+    never materializes. Feed to ops/postprocess.decode_scores.
+    """
+    preset = config.preset
+    maps = _feature_maps_q(qparams, act_scales, images, config)
+    K = config.num_classes
+    nv = config.num_vars
+    confs, clss, locss = [], [], []
+    for i, (fmap, m) in enumerate(zip(maps, preset.maps)):
+        name = f"classifier{i}"
+        y = _qconv(qparams[name], fmap, act_scales[name], relu=False)
+        b, h, w, _ = y.shape
+        y = y.astype(jnp.float32).reshape(b, h * w, m.num_shapes, nv)
+        y = jnp.transpose(y, (0, 2, 3, 1))  # (B, ns, nv, hw)
+        logits = y[:, :, : K + 1, :]
+        fg = logits[:, :, :K, :]
+        cls_m = jnp.argmax(fg, axis=2).astype(jnp.int32)
+        mx = jnp.max(logits, axis=2)
+        se = jnp.sum(jnp.exp(logits - mx[:, :, None, :]), axis=2)
+        conf_m = jnp.exp(jnp.max(fg, axis=2) - mx) / se
+        locs_m = jnp.transpose(y[:, :, K + 1 :, :], (0, 1, 3, 2))
+        confs.append(conf_m.reshape(b, -1))
+        clss.append(cls_m.reshape(b, -1))
+        locss.append(locs_m.reshape(b, -1, 4))
+    return (
+        jnp.concatenate(confs, axis=1),
+        jnp.concatenate(clss, axis=1),
+        jnp.concatenate(locss, axis=1),
+    )
 
 
 def calibrate_activation_scales(

@@ -129,3 +129,44 @@ class TestCalibration:
         )
         for k in one:
             np.testing.assert_allclose(chunked[k], one[k], rtol=1e-6)
+
+
+class TestQuantizedScoresPath:
+    def test_forward_scores_matches_forward(self, rng):
+        """The int8 lazy-softmax scores path (cells-minor) produces the
+        same per-anchor confidence/class/locs as the full result
+        tensor."""
+        import jax
+        import jax.numpy as jnp
+
+        from ssd_tensorflow_tpu.models.quantized import (
+            _forward,
+            _forward_scores,
+            calibrate_activation_scales,
+            quantize_weights,
+        )
+        from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, init_params
+
+        cfg = ModelConfig(
+            preset_name="test64", num_classes=3, compute_dtype="float32"
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        images = jnp.asarray(
+            rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+        )
+        scales = calibrate_activation_scales(params, images, cfg)
+        qp = quantize_weights(params)
+
+        r = _forward(qp, scales, images, cfg)
+        K = cfg.num_classes
+        probs, locs_ref = r[..., : K + 1], r[..., K + 1 :]
+        fg = np.asarray(probs[..., :K])
+
+        conf, cls, locs = _forward_scores(qp, scales, images, cfg)
+        np.testing.assert_array_equal(np.asarray(cls), fg.argmax(-1))
+        np.testing.assert_allclose(
+            np.asarray(conf), fg.max(-1), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(locs), np.asarray(locs_ref), rtol=1e-4, atol=1e-5
+        )
