@@ -32,12 +32,15 @@ def small_cfg(**kw):
 
 
 def identity_cfg(**kw):
-    """All random branches off: the chain must be a pure resize."""
-    return small_cfg(
+    """All random branches off: the chain must be a pure resize.
+    Keyword overrides re-enable individual branches."""
+    defaults = dict(
         brightness_prob=0.0, contrast_prob=0.0, hue_prob=0.0,
         saturation_prob=0.0, reorder_prob=0.0, expand_prob=0.0,
-        sampler_overlaps=(), flip_prob=0.0, ensure_positive=False, **kw
+        sampler_overlaps=(), flip_prob=0.0, ensure_positive=False,
     )
+    defaults.update(kw)
+    return small_cfg(**defaults)
 
 
 # ---------------------------------------------------------------------------
@@ -376,3 +379,73 @@ class TestShardedAugment:
                 want[k].astype(np.float32),
                 atol=1.0 if k == "images" else 1e-5,
             )
+
+
+class TestDistributions:
+    """Statistical checks that the random branches fire at their
+    configured rates (vmapped over many images, one compile)."""
+
+    def _run_many(self, cfg, n=256, hw=16, seed=0):
+        rng = np.random.default_rng(seed)
+        imgs = jnp.asarray(rng.integers(0, 256, (n, hw, hw, 3), dtype=np.uint8))
+        boxes = jnp.tile(jnp.asarray([[0.5, 0.5, 0.6, 0.6]]), (n, 1, 1))
+        labels = jnp.zeros((n, 1), jnp.int32)
+        mask = jnp.ones((n, 1), bool)
+        anchors = jnp.asarray([[0.5, 0.5, 0.6, 0.6]], jnp.float32)
+        keys = jax.random.split(jax.random.PRNGKey(seed), n)
+        fn = jax.jit(jax.vmap(
+            lambda k, i, b, l, m: augment_image(k, i, b, l, m, anchors, cfg)
+        ))
+        return fn(keys, imgs, boxes, labels, mask)
+
+    def test_flip_rate_is_half(self):
+        cfg = identity_cfg(flip_prob=0.5)
+        # a box off-center: cx flips 0.3 <-> 0.7
+        n = 256
+        rng = np.random.default_rng(1)
+        imgs = jnp.asarray(rng.integers(0, 256, (n, 16, 16, 3), dtype=np.uint8))
+        boxes = jnp.tile(jnp.asarray([[0.3, 0.5, 0.2, 0.2]]), (n, 1, 1))
+        keys = jax.random.split(jax.random.PRNGKey(2), n)
+        fn = jax.jit(jax.vmap(
+            lambda k, i, b: augment_image(
+                k, i, b, jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool),
+                jnp.asarray([[0.5, 0.5, 0.6, 0.6]], jnp.float32), cfg,
+            )
+        ))
+        _, out_boxes, _, _ = fn(keys, imgs, boxes)
+        cx = np.asarray(out_boxes)[:, 0, 0]
+        flipped = np.isclose(cx, 0.7).mean()
+        assert 0.35 < flipped < 0.65, flipped
+
+    def test_expand_shrinks_boxes_at_configured_rate(self):
+        cfg = identity_cfg(expand_prob=0.5, ensure_positive=False)
+        _, out_boxes, _, out_mask = self._run_many(cfg)
+        w = np.asarray(out_boxes)[:, 0, 2]
+        kept = np.asarray(out_mask)[:, 0]
+        # expanded images have w < 0.6 (canvas ratio > 1); identity keeps 0.6
+        shrunk = (w[kept] < 0.6 - 1e-6).mean()
+        assert 0.3 < shrunk < 0.7, shrunk
+        # ratio <= 4 bounds the shrink
+        assert (w[kept] >= 0.6 / 4.0 - 1e-6).all()
+
+    def test_brightness_stays_within_delta(self):
+        cfg = identity_cfg(brightness_prob=1.0)
+        n = 64
+        rng = np.random.default_rng(3)
+        img = rng.integers(100, 150, (32, 32, 3), dtype=np.uint8)
+        imgs = jnp.asarray(np.tile(img, (n, 1, 1, 1)))
+        boxes = jnp.tile(jnp.asarray([[0.5, 0.5, 0.6, 0.6]]), (n, 1, 1))
+        keys = jax.random.split(jax.random.PRNGKey(4), n)
+        fn = jax.jit(jax.vmap(
+            lambda k, i, b: augment_image(
+                k, i, b, jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool),
+                jnp.asarray([[0.5, 0.5, 0.6, 0.6]], jnp.float32), cfg,
+            )
+        ))
+        out, _, _, _ = fn(keys, imgs, boxes)
+        deltas = np.asarray(out).astype(int) - img.astype(int)
+        per_image = deltas.reshape(n, -1)
+        # each image shifts uniformly by one integer delta in [-32, 32]
+        assert (per_image.max(1) == per_image.min(1)).all()
+        assert per_image.max() <= 32 and per_image.min() >= -32
+        assert per_image.std() > 5  # and the deltas actually vary
