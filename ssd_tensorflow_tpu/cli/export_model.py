@@ -71,37 +71,57 @@ def main(argv=None):
         import numpy as np
 
         from ssd_tensorflow_tpu.models.quantized import QuantizedModel
+        from ssd_tensorflow_tpu.utils.checkpoint import checkpoint_config
 
-        h, w = model_cfg.preset.image_size.h, model_cfg.preset.image_size.w
-        if args.calibration_images:
-            import cv2
+        # a QAT checkpoint carries the activation scales it was trained
+        # against — deploying with those exact scales is the QAT
+        # contract; recalibrating would deploy a quantizer the finetune
+        # never saw
+        qat_scales = checkpoint_config(args.checkpoint_file).get(
+            "qat_act_scales"
+        )
+        if qat_scales is not None:
+            from ssd_tensorflow_tpu.models.quantized import quantize_weights
 
-            calib = np.zeros(
-                (len(args.calibration_images), h, w, 3), dtype=np.uint8
+            print("[i] QAT checkpoint: exporting with the trained "
+                  "activation scales (no recalibration)")
+            save_bundle(
+                args.output_file, quantize_weights(params), model_cfg,
+                lid2name, act_scales=qat_scales,
             )
-            for i, f in enumerate(args.calibration_images):
-                img = cv2.imread(f)
-                calib[i] = cv2.resize(img, (w, h))
         else:
-            if not args.allow_noise_calibration:
-                print(
-                    "[!] int8 export needs --calibration-images (real "
-                    "images from the training distribution); pass "
-                    "--allow-noise-calibration to override for testing"
-                )
-                return 1
-            print("[!] no calibration images given; using random noise")
-            calib = np.random.default_rng(0).integers(
-                0, 255, (2, h, w, 3), dtype=np.uint8
+            h, w = (
+                model_cfg.preset.image_size.h, model_cfg.preset.image_size.w
             )
-        qm = QuantizedModel(
-            params, model_cfg, calib,
-            percentile=args.calibration_percentile,
-        )
-        save_bundle(
-            args.output_file, qm.qparams, model_cfg, lid2name,
-            act_scales=qm.act_scales,
-        )
+            if args.calibration_images:
+                import cv2
+
+                calib = np.zeros(
+                    (len(args.calibration_images), h, w, 3), dtype=np.uint8
+                )
+                for i, f in enumerate(args.calibration_images):
+                    img = cv2.imread(f)
+                    calib[i] = cv2.resize(img, (w, h))
+            else:
+                if not args.allow_noise_calibration:
+                    print(
+                        "[!] int8 export needs --calibration-images (real "
+                        "images from the training distribution); pass "
+                        "--allow-noise-calibration to override for testing"
+                    )
+                    return 1
+                print("[!] no calibration images given; using random noise")
+                calib = np.random.default_rng(0).integers(
+                    0, 255, (2, h, w, 3), dtype=np.uint8
+                )
+            qm = QuantizedModel(
+                params, model_cfg, calib,
+                percentile=args.calibration_percentile,
+            )
+            save_bundle(
+                args.output_file, qm.qparams, model_cfg, lid2name,
+                act_scales=qm.act_scales,
+            )
         print("[i] int8 bundle written:", args.output_file)
     else:
         save_bundle(args.output_file, params, model_cfg, lid2name)

@@ -333,10 +333,22 @@ def main(argv=None):
         act_scales = calibrate_activation_scales(
             state.params, calib, model_cfg
         )
+        # persist the scales: "deploy with the SAME scales QAT trained
+        # against" only works if checkpoints carry them
+        # (export_model.py --quantize picks them up instead of
+        # recalibrating)
+        config_dict["qat_act_scales"] = {
+            k: float(v) for k, v in act_scales.items()
+        }
+        from ssd_tensorflow_tpu.models.qat import make_qat_forward
+
+        qat_fwd = make_qat_forward(model_cfg, act_scales)
         train_step = make_qat_train_step(train_cfg, anchors, act_scales)
+        # evaluate the network QAT actually optimizes, not the float one
+        eval_step = make_eval_step(train_cfg, anchors, forward=qat_fwd)
     else:
         train_step = make_train_step(train_cfg, anchors)
-    eval_step = make_eval_step(train_cfg, anchors)
+        eval_step = make_eval_step(train_cfg, anchors)
 
     augment_fn = None
     if args.device_augment:
@@ -458,13 +470,13 @@ def main(argv=None):
                 # under multi-host only local rows are addressable)
                 if n_proc > 1:
                     from ssd_tensorflow_tpu.parallel.multihost import (
-                        local_rows,
+                        local_rows_many,
                     )
 
-                    gt_host = tuple(
-                        local_rows(dev_batch[k])
-                        for k in ("gt_boxes", "gt_labels", "gt_mask")
-                    )
+                    gt_host = tuple(local_rows_many([
+                        dev_batch["gt_boxes"], dev_batch["gt_labels"],
+                        dev_batch["gt_mask"],
+                    ]))
                 else:
                     gt_host = jax.device_get(
                         (dev_batch["gt_boxes"], dev_batch["gt_labels"],
@@ -518,7 +530,12 @@ def main(argv=None):
                 from ssd_tensorflow_tpu.parallel.multihost import local_rows
 
                 dets = jax.tree_util.tree_map(local_rows, dets)
-                host_images = local_rows(dev_batch["images"])
+                # only fetch images while summary slots remain
+                host_images = (
+                    local_rows(dev_batch["images"])
+                    if len(validation_imgs_samples) < 3
+                    else None
+                )
             else:
                 host_images = None
             boxes_per_image = detections_to_boxes(dets, td.lid2name)

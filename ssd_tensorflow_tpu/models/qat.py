@@ -143,6 +143,18 @@ def qat_apply_model(params, images, config: ModelConfig, act_scales):
     return logits, locs
 
 
+def make_qat_forward(model_cfg: ModelConfig, act_scales):
+    """The fake-quant forward ``(params, images) -> (logits, locs)`` as a
+    closure over static scales — pluggable into make_train_step /
+    make_eval_step via their ``forward`` parameter."""
+    scales = {k: float(v) for k, v in act_scales.items()}
+
+    def forward(p, x):
+        return qat_apply_model(p, x, model_cfg, scales)
+
+    return forward
+
+
 def make_qat_train_step(cfg, anchors, act_scales, donate: bool = True):
     """A jitted train step whose forward is the fake-quant network.
 
@@ -152,9 +164,7 @@ def make_qat_train_step(cfg, anchors, act_scales, donate: bool = True):
     """
     from ssd_tensorflow_tpu.parallel.train_step import make_train_step
 
-    scales = {k: float(v) for k, v in act_scales.items()}
-
-    def forward(p, x):
-        return qat_apply_model(p, x, cfg.model, scales)
-
-    return make_train_step(cfg, anchors, donate=donate, forward=forward)
+    return make_train_step(
+        cfg, anchors, donate=donate,
+        forward=make_qat_forward(cfg.model, act_scales),
+    )

@@ -44,6 +44,27 @@ def local_rows(x):
     )
 
 
+def local_rows_many(arrays):
+    """:func:`local_rows` for several arrays with ONE combined host
+    fetch (each separate device_get pays a full transfer round trip —
+    significant over a remote-TPU tunnel)."""
+    import numpy as np
+
+    shard_data = jax.device_get(
+        [[(s.index[0].start or 0, s.data) for s in x.addressable_shards]
+         for x in arrays]
+    )
+    out = []
+    for shards in shard_data:
+        unique = {}
+        for off, data in shards:
+            unique.setdefault(off, data)
+        out.append(
+            np.concatenate([np.asarray(unique[k]) for k in sorted(unique)], 0)
+        )
+    return out
+
+
 def make_global_batch(local_batch: dict, mesh: Mesh) -> dict:
     """Assemble per-host batch arrays into global data-sharded arrays.
 

@@ -157,12 +157,16 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg: TrainConfig, anchors):
-    """Build the jitted eval step: losses + detections, no update."""
+def make_eval_step(cfg: TrainConfig, anchors, forward=None):
+    """Build the jitted eval step: losses + detections, no update.
+
+    ``forward`` overrides the model forward like in make_train_step (so
+    QAT evaluation measures the fake-quant network it trains, not the
+    float one)."""
     anchors_dev = jnp.asarray(anchors)
 
     def step_fn(params, batch):
-        _, aux = _loss_and_aux(params, batch, anchors_dev, cfg)
+        _, aux = _loss_and_aux(params, batch, anchors_dev, cfg, forward)
         dets = _maybe_detect(aux, anchors_dev, cfg)
         return aux["losses"], dets
 

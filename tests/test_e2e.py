@@ -248,4 +248,24 @@ def test_train_with_qat(dataset, tmp_path):
         ]
     )
     assert rc == 0
-    assert os.path.exists(os.path.join(name, "final.ckpt.npz"))
+    ckpt = os.path.join(name, "final.ckpt.npz")
+    assert os.path.exists(ckpt)
+
+    # the checkpoint carries the trained activation scales...
+    from ssd_tensorflow_tpu.utils.checkpoint import checkpoint_config
+
+    scales = checkpoint_config(ckpt).get("qat_act_scales")
+    assert scales and "conv1_1" in scales
+
+    # ...and --quantize export deploys them without recalibration
+    # (no --calibration-images / --allow-noise-calibration needed)
+    from ssd_tensorflow_tpu.cli.export_model import main as export_main
+    from ssd_tensorflow_tpu.inference import load_bundle
+
+    bundle = str(tmp_path / "qat-int8.ssdtpu.npz")
+    rc = export_main(
+        ["--checkpoint-file", ckpt, "--output-file", bundle, "--quantize"]
+    )
+    assert rc == 0
+    _, _, _, act_scales = load_bundle(bundle)
+    assert act_scales == scales

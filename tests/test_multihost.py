@@ -118,3 +118,26 @@ class TestShardEqualization:
                 x for pi in range(pc) for x in process_shard(items, pi, pc)[:want]
             ]
             assert len(set(seen)) == len(seen)
+
+
+class TestLocalRowsMany:
+    def test_matches_individual_local_rows(self, rng):
+        """One combined fetch == per-array local_rows."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ssd_tensorflow_tpu.parallel.mesh import make_mesh
+        from ssd_tensorflow_tpu.parallel.multihost import (
+            local_rows,
+            local_rows_many,
+        )
+
+        mesh = make_mesh(data=8)
+        sharding = NamedSharding(mesh, P("data"))
+        a = jax.device_put(
+            rng.normal(0, 1, (8, 4)).astype("float32"), sharding
+        )
+        b = jax.device_put(rng.integers(0, 9, (8,)), sharding)
+        got = local_rows_many([a, b])
+        np.testing.assert_array_equal(got[0], local_rows(a))
+        np.testing.assert_array_equal(got[1], local_rows(b))

@@ -10,7 +10,6 @@ heads -> decode+NMS. Chained-in-jit methodology (see bench.py).
 import argparse
 import os
 import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

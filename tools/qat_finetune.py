@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """QAT finetune demo: close the int8 gap of a trained checkpoint.
 
-Loads a float checkpoint, calibrates int8 activation scales on real
-training images, finetunes through the fake-quant forward
+Loads a float checkpoint, calibrates int8 activation scales on held-out
+validation images, finetunes through the fake-quant forward
 (models/qat.py) for a few epochs, then reports mAP on the validation
 set for: float baseline, post-training int8 (PTQ), and QAT int8 — the
 last two evaluated through the REAL int8 deploy pipeline
@@ -95,10 +95,16 @@ def main(argv=None):
         return 1
     print(f"[i] Checkpoint: {ckpt} (epoch {epoch})")
 
-    saved = checkpoint_config(ckpt).get("model", {})
-    model_cfg = ModelConfig(
-        preset_name=saved.get("preset_name", td.preset.name),
-        num_classes=saved.get("num_classes", td.num_classes),
+    import dataclasses
+
+    from ssd_tensorflow_tpu.inference import model_config_from_dict
+
+    ckpt_cfg = checkpoint_config(ckpt)
+    saved = ckpt_cfg.get("model", {})
+    model_cfg = dataclasses.replace(
+        model_config_from_dict(saved) if saved else ModelConfig(
+            preset_name=td.preset.name, num_classes=td.num_classes
+        ),
         compute_dtype="float32",  # QAT math is exact-integer-in-f32
     )
     train_cfg = TrainConfig(
@@ -113,7 +119,8 @@ def main(argv=None):
     state = make_train_state(state.params, train_cfg)  # fresh momentum
     anchors = jnp.asarray(anchors_for_preset(model_cfg.preset))
 
-    # -- calibration on real training images ---------------------------
+    # -- calibration on held-out validation images (deterministic order,
+    # same scheme as train.py --qat) ------------------------------------
     calib = []
     for batch, _, n in td.valid_generator(args.batch_size, num_workers=0):
         calib.append(np.asarray(batch["images"][:n]))
@@ -163,10 +170,16 @@ def main(argv=None):
     )
 
     if args.output:
-        mgr = CheckpointManager(
-            args.output,
-            {"model": dict(saved, compute_dtype="float32"), "qat": True},
+        # carry the full original config (train params, label map) plus
+        # the trained activation scales, so infer/export work on the QAT
+        # checkpoint and export deploys the exact trained quantizer
+        out_cfg = dict(
+            ckpt_cfg,
+            model=dict(saved, compute_dtype="float32"),
+            qat=True,
+            qat_act_scales={k: float(v) for k, v in scales.items()},
         )
+        mgr = CheckpointManager(args.output, out_cfg)
         path = mgr.save(args.epochs, state, final=True)
         mgr.wait()
         print("[i] QAT checkpoint saved:", os.path.join(args.output))
