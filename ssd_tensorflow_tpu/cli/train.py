@@ -310,29 +310,48 @@ def main(argv=None):
             calibrate_activation_scales,
         )
 
-        if not pre_shard_valid:
-            print("[!] QAT needs validation images to calibrate int8 "
-                  "scales; re-run process_dataset with "
-                  "--validation-fraction > 0")
-            return 1
-        # calibrate on the UN-sharded validation list: the scales become
-        # compile-time constants of the SPMD step, so every process must
-        # derive identical values (valid_generator is deterministic)
-        sharded_valid = td.valid_samples
-        td.valid_samples = pre_shard_valid
-        calib = []
-        for batch, _, n in td.valid_generator(
-            local_batch_size, num_workers=0
-        ):
-            calib.append(batch["images"][:n])
-            if sum(c.shape[0] for c in calib) >= 32:
-                break
-        td.valid_samples = sharded_valid
-        calib = np.concatenate(calib)[:32]
-        print(f"[i] QAT: calibrating int8 scales on {calib.shape[0]} images")
-        act_scales = calibrate_activation_scales(
-            state.params, calib, model_cfg
-        )
+        saved_scales = None
+        if checkpoint_file is not None:
+            from ssd_tensorflow_tpu.utils.checkpoint import (
+                checkpoint_config,
+            )
+
+            saved_scales = checkpoint_config(checkpoint_file).get(
+                "qat_act_scales"
+            )
+        if saved_scales is not None:
+            # resume: keep training against the SAME quantizer the
+            # earlier epochs optimized — recalibrating on the finetuned
+            # params would silently change it mid-run
+            print("[i] QAT: resuming with the checkpoint's activation "
+                  "scales")
+            act_scales = saved_scales
+        else:
+            if not pre_shard_valid:
+                print("[!] QAT needs validation images to calibrate int8 "
+                      "scales; re-run process_dataset with "
+                      "--validation-fraction > 0")
+                return 1
+            # calibrate on the UN-sharded validation list: the scales
+            # become compile-time constants of the SPMD step, so every
+            # process must derive identical values (valid_generator is
+            # deterministic)
+            sharded_valid = td.valid_samples
+            td.valid_samples = pre_shard_valid
+            calib = []
+            for batch, _, n in td.valid_generator(
+                local_batch_size, num_workers=0
+            ):
+                calib.append(batch["images"][:n])
+                if sum(c.shape[0] for c in calib) >= 32:
+                    break
+            td.valid_samples = sharded_valid
+            calib = np.concatenate(calib)[:32]
+            print(f"[i] QAT: calibrating int8 scales on "
+                  f"{calib.shape[0]} images")
+            act_scales = calibrate_activation_scales(
+                state.params, calib, model_cfg
+            )
         # persist the scales: "deploy with the SAME scales QAT trained
         # against" only works if checkpoints carry them
         # (export_model.py --quantize picks them up instead of

@@ -22,6 +22,7 @@ from ssd_tensorflow_tpu.ops.anchors import anchors_for_preset
 from ssd_tensorflow_tpu.ops.postprocess import (
     DetectionConfig,
     decode_detections,
+    decode_scores,
     detections_to_boxes,
 )
 from ssd_tensorflow_tpu.parallel.train_step import TrainConfig, make_train_state
@@ -137,15 +138,25 @@ class InferenceModel:
         self._anchors = jnp.asarray(anchors_for_preset(self.preset))
 
         if act_scales is not None:
-            from ssd_tensorflow_tpu.models.quantized import _forward
+            from ssd_tensorflow_tpu.models.quantized import (
+                _forward,
+                _forward_scores,
+            )
 
             def fwd(params, images):
                 return _forward(params, act_scales, images, model_cfg)
 
+            def fwd_scores(params, images):
+                return _forward_scores(params, act_scales, images, model_cfg)
+
         else:
+            from ssd_tensorflow_tpu.models.ssd_vgg import apply_scores
 
             def fwd(params, images):
                 return apply_result(params, images, model_cfg)
+
+            def fwd_scores(params, images):
+                return apply_scores(params, images, model_cfg)
 
         @partial(jax.jit, static_argnames=())
         def _run(params, images):
@@ -155,7 +166,17 @@ class InferenceModel:
             dets = decode_detections(probs, locs, self._anchors, self.detection)
             return result, dets
 
+        # detection-only path: lazy softmax + cells-minor reductions —
+        # never materializes the (B, A, K+5) result tensor (what
+        # detect.py and bench run; `run` keeps the raw tensor for
+        # --dump-predictions)
+        @partial(jax.jit, static_argnames=())
+        def _run_scores(params, images):
+            conf, cls, locs = fwd_scores(params, images)
+            return decode_scores(conf, cls, locs, self._anchors, self.detection)
+
         self._run = _run
+        self._run_scores = _run_scores
 
     @classmethod
     def from_checkpoint(cls, path: str, **kw):
@@ -192,6 +213,8 @@ class InferenceModel:
         return result, dets
 
     def detect_boxes(self, images: np.ndarray):
-        """Detections as host lists of (conf, Box) with label names."""
-        _, dets = self.run(images)
+        """Detections as host lists of (conf, Box) with label names.
+
+        Runs the throughput scores path (no raw result tensor)."""
+        dets = self._run_scores(self.params, jnp.asarray(images))
         return detections_to_boxes(dets, self.lid2name)

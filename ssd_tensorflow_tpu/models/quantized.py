@@ -136,32 +136,17 @@ def _forward_scores(qparams, act_scales, images, config: ModelConfig):
     the cells-minor reduction layout, so the full (B, A, K+1) softmax
     never materializes. Feed to ops/postprocess.decode_scores.
     """
+    from ssd_tensorflow_tpu.models.ssd_vgg import reduce_head_maps
+
     preset = config.preset
     maps = _feature_maps_q(qparams, act_scales, images, config)
-    K = config.num_classes
-    nv = config.num_vars
-    confs, clss, locss = [], [], []
-    for i, (fmap, m) in enumerate(zip(maps, preset.maps)):
+
+    def head_conv(i, fmap):
         name = f"classifier{i}"
         y = _qconv(qparams[name], fmap, act_scales[name], relu=False)
-        b, h, w, _ = y.shape
-        y = y.astype(jnp.float32).reshape(b, h * w, m.num_shapes, nv)
-        y = jnp.transpose(y, (0, 2, 3, 1))  # (B, ns, nv, hw)
-        logits = y[:, :, : K + 1, :]
-        fg = logits[:, :, :K, :]
-        cls_m = jnp.argmax(fg, axis=2).astype(jnp.int32)
-        mx = jnp.max(logits, axis=2)
-        se = jnp.sum(jnp.exp(logits - mx[:, :, None, :]), axis=2)
-        conf_m = jnp.exp(jnp.max(fg, axis=2) - mx) / se
-        locs_m = jnp.transpose(y[:, :, K + 1 :, :], (0, 1, 3, 2))
-        confs.append(conf_m.reshape(b, -1))
-        clss.append(cls_m.reshape(b, -1))
-        locss.append(locs_m.reshape(b, -1, 4))
-    return (
-        jnp.concatenate(confs, axis=1),
-        jnp.concatenate(clss, axis=1),
-        jnp.concatenate(locss, axis=1),
-    )
+        return y.astype(jnp.float32)
+
+    return reduce_head_maps(head_conv, maps, preset, config)
 
 
 def calibrate_activation_scales(

@@ -278,12 +278,26 @@ def apply_scores(params, images, config: ModelConfig):
     """
     preset = config.preset
     maps = _feature_maps(params, images, config, inference=True)
+
+    def head_conv(i, fmap):
+        hp = params[f"classifier{i}"]
+        return conv2d(fmap, hp["w"], hp["b"], f32_out=True)
+
+    return reduce_head_maps(head_conv, maps, preset, config)
+
+
+def reduce_head_maps(head_conv, maps, preset, config: ModelConfig):
+    """Shared cells-minor lazy-softmax reduction over the head maps.
+
+    ``head_conv(i, fmap)`` runs map i's classifier conv (float or int8 —
+    models/quantized uses this too); the reduction below is the single
+    source of truth for the scores-path math.
+    """
     K = config.num_classes
     nv = config.num_vars
     confs, clss, locss = [], [], []
     for i, (fmap, m) in enumerate(zip(maps, preset.maps)):
-        hp = params[f"classifier{i}"]
-        y = conv2d(fmap, hp["w"], hp["b"], f32_out=True)  # (B,h,w,ns*nv)
+        y = head_conv(i, fmap)  # (B, h, w, ns*nv)
         b, h, w, _ = y.shape
         # cells-minor: (B, ns, nv, hw) — reductions below run over the
         # nv axis, which is no longer the lane dimension
@@ -302,7 +316,7 @@ def apply_scores(params, images, config: ModelConfig):
         # anchor-order contract
         confs.append(conf_m.reshape(b, -1))
         clss.append(cls_m.reshape(b, -1))
-        locss.append(locs_m.reshape(b, -1, 4))
+        locss.append(locs_m.reshape(b, -1, 4).astype(jnp.float32))
     return (
         jnp.concatenate(confs, axis=1),
         jnp.concatenate(clss, axis=1),

@@ -50,17 +50,20 @@ def local_rows_many(arrays):
     significant over a remote-TPU tunnel)."""
     import numpy as np
 
-    shard_data = jax.device_get(
-        [[(s.index[0].start or 0, s.data) for s in x.addressable_shards]
-         for x in arrays]
-    )
+    refs = []
+    for x in arrays:
+        unique = {}  # dedup replicated shards BEFORE the transfer
+        for s in x.addressable_shards:
+            unique.setdefault(s.index[0].start or 0, s.data)
+        refs.append(unique)
+    fetched = jax.device_get([list(u.values()) for u in refs])
     out = []
-    for shards in shard_data:
-        unique = {}
-        for off, data in shards:
-            unique.setdefault(off, data)
+    for u, datas in zip(refs, fetched):
+        by_off = dict(zip(u.keys(), datas))
         out.append(
-            np.concatenate([np.asarray(unique[k]) for k in sorted(unique)], 0)
+            np.concatenate(
+                [np.asarray(by_off[k]) for k in sorted(by_off)], axis=0
+            )
         )
     return out
 

@@ -175,7 +175,18 @@ def main(argv=None):
         # checkpoint and export deploys the exact trained quantizer
         out_cfg = dict(
             ckpt_cfg,
-            model=dict(saved, compute_dtype="float32"),
+            # rebuild the model dict from the actual model_cfg so it is
+            # complete even when the source checkpoint config lacked one
+            model={
+                "preset_name": model_cfg.preset_name,
+                "num_classes": model_cfg.num_classes,
+                "a_trous": model_cfg.a_trous,
+                "compute_dtype": "float32",
+                "mean_bgr": list(model_cfg.mean_bgr),
+            },
+            lid2name=ckpt_cfg.get(
+                "lid2name", {str(k): v for k, v in td.lid2name.items()}
+            ),
             qat=True,
             qat_act_scales={k: float(v) for k, v in scales.items()},
         )
