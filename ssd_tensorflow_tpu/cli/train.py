@@ -247,14 +247,10 @@ def main(argv=None):
     )
     anchors = anchors_for_preset(td.preset)
 
+    from ssd_tensorflow_tpu.inference import model_config_to_dict
+
     config_dict = {
-        "model": {
-            "preset_name": model_cfg.preset_name,
-            "num_classes": model_cfg.num_classes,
-            "a_trous": model_cfg.a_trous,
-            "compute_dtype": model_cfg.compute_dtype,
-            "mean_bgr": list(model_cfg.mean_bgr),
-        },
+        "model": model_config_to_dict(model_cfg),
         "train": {
             "lr_values": list(lr_values),
             "lr_boundaries": list(lr_boundaries),

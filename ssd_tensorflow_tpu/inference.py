@@ -36,7 +36,21 @@ def model_config_from_dict(d: dict) -> ModelConfig:
         a_trous=d.get("a_trous", True),
         compute_dtype=d.get("compute_dtype", "bfloat16"),
         mean_bgr=tuple(d.get("mean_bgr", (104.0, 117.0, 123.0))),
+        packed_stem=d.get("packed_stem", True),
     )
+
+
+def model_config_to_dict(cfg: ModelConfig) -> dict:
+    """The single serialization of ModelConfig (checkpoint configs,
+    bundles, QAT checkpoints all use this — add new fields HERE)."""
+    return {
+        "preset_name": cfg.preset_name,
+        "num_classes": cfg.num_classes,
+        "a_trous": cfg.a_trous,
+        "compute_dtype": cfg.compute_dtype,
+        "mean_bgr": list(cfg.mean_bgr),
+        "packed_stem": cfg.packed_stem,
+    }
 
 
 def load_params_from_train_checkpoint(path: str):
@@ -75,13 +89,7 @@ def save_bundle(
     leaves, _ = jax.tree_util.tree_flatten(params)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     meta = {
-        "model": {
-            "preset_name": model_cfg.preset_name,
-            "num_classes": model_cfg.num_classes,
-            "a_trous": model_cfg.a_trous,
-            "compute_dtype": model_cfg.compute_dtype,
-            "mean_bgr": list(model_cfg.mean_bgr),
-        },
+        "model": model_config_to_dict(model_cfg),
         "lid2name": {str(k): v for k, v in (lid2name or {}).items()},
         "format": (
             "ssd_tensorflow_tpu.bundle.int8.v1"

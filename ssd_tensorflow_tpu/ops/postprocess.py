@@ -155,17 +155,31 @@ def decode_scores(
     The throughput-path twin of :func:`decode_detections` for use with
     ``models.ssd_vgg.apply_scores`` — identical detections, but takes
     the already-reduced ``(B, A)`` confidence / ``(B, A)`` class tensors
-    so the full softmax never materializes.
+    so the full softmax never materializes. Honors
+    ``cfg.use_pallas_nms`` like :func:`decode_detections`.
     """
-    def one(cf, cl, lc):
-        boxes, conf_top, cls_top, valid = _candidates_from_scores(
-            cf, cl, lc, anchors, cfg
-        )
-        corners = box_canvas_corners(boxes)
-        keep = class_aware_keep(corners, cls_top, valid, cfg.nms_threshold)
-        return _finalize_single(boxes, conf_top, cls_top, keep, cfg)
+    cand = jax.vmap(
+        lambda cf, cl, lc: _candidates_from_scores(cf, cl, lc, anchors, cfg)
+    )
+    boxes, conf_top, cls_top, valid = cand(conf, cls, locs)
+    corners = box_canvas_corners(boxes)
+    if cfg.use_pallas_nms:
+        from ssd_tensorflow_tpu.ops.nms import _CLASS_OFFSET
+        from ssd_tensorflow_tpu.ops.nms_pallas import nms_keep_pallas
 
-    boxes, scores, classes, valid = jax.vmap(one)(conf, cls, locs)
+        shifted = corners + (
+            cls_top.astype(corners.dtype) * _CLASS_OFFSET
+        )[..., None]
+        interpret = jax.default_backend() != "tpu"
+        keep = nms_keep_pallas(
+            shifted, valid, cfg.nms_threshold, interpret=interpret
+        )
+    else:
+        keep = jax.vmap(
+            lambda co, cl, v: class_aware_keep(co, cl, v, cfg.nms_threshold)
+        )(corners, cls_top, valid)
+    fin = jax.vmap(lambda b, s, c, k: _finalize_single(b, s, c, k, cfg))
+    boxes, scores, classes, valid = fin(boxes, conf_top, cls_top, keep)
     return Detections(boxes=boxes, scores=scores, classes=classes, valid=valid)
 
 

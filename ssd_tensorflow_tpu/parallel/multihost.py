@@ -34,14 +34,7 @@ def local_rows(x):
     summaries) without a cross-host gather. On a single process this is
     the whole array.
     """
-    import numpy as np
-
-    unique = {}  # batch offset -> shard data (dedups replicated outputs)
-    for s in x.addressable_shards:
-        unique.setdefault(s.index[0].start or 0, s.data)
-    return np.concatenate(
-        [np.asarray(unique[k]) for k in sorted(unique)], axis=0
-    )
+    return local_rows_many([x])[0]
 
 
 def local_rows_many(arrays):

@@ -269,3 +269,23 @@ def test_train_with_qat(dataset, tmp_path):
     assert rc == 0
     _, _, _, act_scales = load_bundle(bundle)
     assert act_scales == scales
+
+    # ...and resuming --qat keeps training against the SAME scales
+    # instead of recalibrating on the finetuned weights (the quantizer
+    # must not change mid-run)
+    rc = train_main(
+        [
+            "--name", name,
+            "--data-dir", data_dir,
+            "--epochs", "3",
+            "--batch-size", "4",
+            "--tensorboard-dir", str(tmp_path / "tb-qat"),
+            "--checkpoint-interval", "3",
+            "--num-workers", "0",
+            "--qat", "yes",
+            "--continue-training", "yes",
+        ]
+    )
+    assert rc == 0
+    resumed = checkpoint_config(os.path.join(name, "final.ckpt.npz"))
+    assert resumed.get("qat_act_scales") == scales

@@ -51,3 +51,38 @@ class TestNMSPallasKernel:
         valid = np.zeros((b, d), dtype=bool)
         got = np.asarray(nms_keep_pallas(corners, valid, interpret=True))
         assert not got.any()
+
+
+class TestDecodeScoresPallas:
+    def test_decode_scores_honors_pallas_flag(self, rng):
+        """decode_scores(use_pallas_nms=True) matches the XLA-loop path
+        (interpret mode on CPU)."""
+        import jax.numpy as jnp
+
+        from ssd_tensorflow_tpu.ops.postprocess import (
+            DetectionConfig,
+            decode_scores,
+        )
+
+        A = 64
+        conf = jnp.asarray(rng.uniform(0, 1, (2, A)).astype(np.float32))
+        cls = jnp.asarray(rng.integers(0, 3, (2, A)), jnp.int32)
+        locs = jnp.asarray(rng.normal(0, 0.3, (2, A, 4)).astype(np.float32))
+        anchors = jnp.asarray(
+            rng.uniform(0.2, 0.8, (A, 4)).astype(np.float32)
+        )
+        base = DetectionConfig(top_k=16, confidence_threshold=0.05)
+        want = decode_scores(conf, cls, locs, anchors, base)
+        got = decode_scores(
+            conf, cls, locs, anchors,
+            DetectionConfig(
+                top_k=16, confidence_threshold=0.05, use_pallas_nms=True
+            ),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(want.valid), np.asarray(got.valid)
+        )
+        v = np.asarray(want.valid)
+        np.testing.assert_allclose(
+            np.asarray(want.boxes)[v], np.asarray(got.boxes)[v], atol=1e-6
+        )

@@ -173,17 +173,13 @@ def main(argv=None):
         # carry the full original config (train params, label map) plus
         # the trained activation scales, so infer/export work on the QAT
         # checkpoint and export deploys the exact trained quantizer
+        from ssd_tensorflow_tpu.inference import model_config_to_dict
+
         out_cfg = dict(
             ckpt_cfg,
             # rebuild the model dict from the actual model_cfg so it is
             # complete even when the source checkpoint config lacked one
-            model={
-                "preset_name": model_cfg.preset_name,
-                "num_classes": model_cfg.num_classes,
-                "a_trous": model_cfg.a_trous,
-                "compute_dtype": "float32",
-                "mean_bgr": list(model_cfg.mean_bgr),
-            },
+            model=model_config_to_dict(model_cfg),
             lid2name=ckpt_cfg.get(
                 "lid2name", {str(k): v for k, v in td.lid2name.items()}
             ),
