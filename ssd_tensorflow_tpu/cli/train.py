@@ -112,6 +112,12 @@ def build_parser():
         help="PRNG seed for on-device augmentation",
     )
     parser.add_argument(
+        "--cache-images", type=str2bool, default="False",
+        help="cache decoded images in RAM across epochs (identical "
+        "pixels, no re-decode; size the dataset's decoded bytes against "
+        "available memory before enabling)",
+    )
+    parser.add_argument(
         "--profile-dir", default=None,
         help="write a jax profiler trace of a few steps to this directory",
     )
@@ -178,6 +184,12 @@ def main(argv=None):
     # ------------------------------------------------------------------
     # Training data
     # ------------------------------------------------------------------
+    if args.cache_images:
+        from ssd_tensorflow_tpu.data.transforms import enable_decode_cache
+
+        enable_decode_cache(True)
+        print("[i] Decode cache:          enabled (serial pipeline "
+              "benefits most; fork workers each hold their own copy)")
     try:
         td = TrainingData(args.data_dir)
         print("[i] # training samples:   ", td.num_train)
@@ -236,6 +248,9 @@ def main(argv=None):
         preset_name=td.preset.name,
         num_classes=td.num_classes,
         compute_dtype=args.compute_dtype,
+        # QAT needs the large eps (see models/qat.py); the value rides
+        # in the checkpoint config so deploy computes what QAT trained
+        l2_norm_eps=1e-3 if args.qat else 1e-12,
     )
     train_cfg = TrainConfig(
         model=model_cfg,

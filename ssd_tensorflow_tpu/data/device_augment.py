@@ -413,7 +413,11 @@ def make_augment_fn(cfg: AugmentConfig, anchors):
 def augment_config_for(preset, aug_params: dict | None = None) -> AugmentConfig:
     """AugmentConfig from a preset + the pipeline's declarative
     augmentation dict (training-data.json)."""
-    aug_params = aug_params or {}
+    from ssd_tensorflow_tpu.data.pipeline import validate_augmentation_config
+
+    aug_params = validate_augmentation_config(
+        aug_params or {}, "augment_config_for"
+    )
     return AugmentConfig(
         out_h=preset.image_size.h,
         out_w=preset.image_size.w,

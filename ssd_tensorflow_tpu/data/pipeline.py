@@ -40,6 +40,25 @@ MAX_GT = 60
 #: resample attempts (training_data.py:94).
 MAX_RESAMPLE = 50
 
+#: the full schema of training-data.json's "augmentation" section — the
+#: two knobs process_dataset exposes (matching the reference's flags,
+#: process_dataset.py:178-183). Consumers (`_SampleProcessor`,
+#: `device_augment.augment_config_for`) read these by name with
+#: defaults, so an unknown key would silently do nothing; reject it
+#: loudly instead.
+AUGMENTATION_KEYS = frozenset({"sampler_trials", "expand_probability"})
+
+
+def validate_augmentation_config(aug: dict, where: str) -> dict:
+    """Reject unknown keys in a declarative augmentation dict."""
+    unknown = set(aug) - AUGMENTATION_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown augmentation key(s) {sorted(unknown)} in {where}; "
+            f"known keys: {sorted(AUGMENTATION_KEYS)}"
+        )
+    return aug
+
 
 def _boxes_to_arrays(boxes, max_gt):
     out_boxes = np.zeros((max_gt, 4), dtype=np.float32)
@@ -189,7 +208,10 @@ class TrainingData:
         }
         self.lid2name = {int(k): v for k, v in data["lid2name"].items()}
         self.lname2id = data["lname2id"]
-        self.augmentation = data.get("augmentation", {})
+        self.augmentation = validate_augmentation_config(
+            data.get("augmentation", {}),
+            os.path.join(data_dir, "training-data.json"),
+        )
         self.max_gt = max_gt
         self.num_train = len(self.train_samples)
         self.num_valid = len(self.valid_samples)

@@ -44,11 +44,37 @@ class Transform:
         self.initialized = False
 
 
+#: opt-in decoded-image cache (filename -> BGR array). On a host where
+#: JPEG decode dominates the pipeline (this box: 1 core), re-decoding
+#: every epoch is the throughput ceiling the reference pays
+#: (transforms.py:39-44 runs cv2.imread per epoch per image); caching
+#: the decoded bytes changes no semantics. Enable via
+#: ``enable_decode_cache()`` (train.py --cache-images). Unbounded by
+#: design — the caller opts in knowing the dataset's decoded size.
+_DECODE_CACHE: dict = {}
+_DECODE_CACHE_ON = False
+
+
+def enable_decode_cache(on: bool = True):
+    global _DECODE_CACHE_ON
+    _DECODE_CACHE_ON = on
+    if not on:
+        _DECODE_CACHE.clear()
+
+
 class ImageLoaderTransform(Transform):
     """Load the image file named by the Sample (transforms.py:39-44)."""
 
     def __call__(self, data, label, gt):
         _require_cv2()
+        if _DECODE_CACHE_ON:
+            img = _DECODE_CACHE.get(gt.filename)
+            if img is None:
+                img = cv2.imread(gt.filename)
+                if img is not None:
+                    _DECODE_CACHE[gt.filename] = img
+            # downstream transforms may write in place; hand out a copy
+            return (None if img is None else img.copy()), label, gt
         return cv2.imread(gt.filename), label, gt
 
 

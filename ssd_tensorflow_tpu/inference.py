@@ -37,6 +37,7 @@ def model_config_from_dict(d: dict) -> ModelConfig:
         compute_dtype=d.get("compute_dtype", "bfloat16"),
         mean_bgr=tuple(d.get("mean_bgr", (104.0, 117.0, 123.0))),
         packed_stem=d.get("packed_stem", True),
+        l2_norm_eps=d.get("l2_norm_eps", 1e-12),
     )
 
 
@@ -50,6 +51,7 @@ def model_config_to_dict(cfg: ModelConfig) -> dict:
         "compute_dtype": cfg.compute_dtype,
         "mean_bgr": list(cfg.mean_bgr),
         "packed_stem": cfg.packed_stem,
+        "l2_norm_eps": cfg.l2_norm_eps,
     }
 
 

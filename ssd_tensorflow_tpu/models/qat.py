@@ -109,13 +109,18 @@ def qat_apply_model(params, images, config: ModelConfig, act_scales):
     x = _fq_conv(params["mod_conv6"], x, act_scales["mod_conv6"], dilation=6)
     x = _fq_conv(params["mod_conv7"], x, act_scales["mod_conv7"])
 
-    # eps large enough to bound the rsqrt backward: activation
-    # fake-quant rounds small values to exact zeros, so whole conv4_3
-    # pixel vectors can be 0 — with the float path's 1e-12 eps that
-    # makes 1e6-scale gradients and the weights blow up mid-finetune
+    # config.l2_norm_eps must be large enough (1e-3; the QAT CLIs set
+    # it) to bound the rsqrt backward: activation fake-quant rounds
+    # small values to exact zeros, so whole conv4_3 pixel vectors can be
+    # 0 — with the float path's 1e-12 eps that makes 1e6-scale gradients
+    # and the weights blow up mid-finetune. Reading it from the config
+    # (which the checkpoint carries) keeps float eval, calibration and
+    # the int8 deploy path computing exactly what QAT trained.
     maps = [
         l2_normalize_scale(
-            conv4_3, params["l2_norm_conv4_3"]["scale"], eps=1e-3
+            conv4_3,
+            params["l2_norm_conv4_3"]["scale"],
+            eps=config.l2_norm_eps,
         ),
         x,
     ]
@@ -147,6 +152,13 @@ def make_qat_forward(model_cfg: ModelConfig, act_scales):
     """The fake-quant forward ``(params, images) -> (logits, locs)`` as a
     closure over static scales — pluggable into make_train_step /
     make_eval_step via their ``forward`` parameter."""
+    if model_cfg.l2_norm_eps < 1e-6:
+        raise ValueError(
+            "QAT requires ModelConfig.l2_norm_eps >= 1e-6 (got "
+            f"{model_cfg.l2_norm_eps}): fake-quant zeros whole conv4_3 "
+            "pixel vectors and rsqrt(tiny eps) explodes the backward — "
+            "build the config with l2_norm_eps=1e-3 like train.py --qat"
+        )
     scales = {k: float(v) for k, v in act_scales.items()}
 
     def forward(p, x):

@@ -79,13 +79,97 @@ def _qconv(qp, x, act_scale, stride=1, padding="SAME", dilation=1, relu=True):
 _POOL_AFTER = {"conv1_2", "conv2_2", "conv3_3", "conv4_3"}
 
 
+def _pack_qconv3x3(qp):
+    """Width-pack an int8-quantized 3x3 conv (models/packed_conv.py).
+
+    The packed int8 conv computes the SAME integer sums as the unpacked
+    one (structured zero weights add exact int32 zeros), so the packed
+    stem is bit-exact with the unpacked int8 stem — unlike the float
+    packed stem, which only matches up to summation order.
+    """
+    w = qp["wq"]
+    kh, kw, ci, co = w.shape
+    wp = jnp.zeros((3, 3, 2 * ci, 2 * co), w.dtype)
+    for po in (0, 1):
+        for k in (0, 1, 2):
+            off = po + k - 1
+            wp = wp.at[
+                :, off // 2 + 1,
+                (off % 2) * ci : (off % 2 + 1) * ci,
+                po * co : (po + 1) * co,
+            ].set(w[:, k])
+    return {
+        "wq": wp,
+        "w_scale": jnp.concatenate([qp["w_scale"], qp["w_scale"]]),
+        "b": jnp.concatenate([qp["b"], qp["b"]]),
+    }
+
+
+def _quantize_lanes(x, act_scale, flat_groups: int = 1):
+    """Quantize to int8 with a static scale; elementwise work runs on a
+    lane-aligned flat view when the minor dim is tiny (flat_groups > 1
+    merges that many minor dims into the lanes, cf. preprocess_flat)."""
+    shape = x.shape
+    if flat_groups > 1:
+        x = x.reshape(*shape[:-2], shape[-2] * shape[-1])
+    inv = 1.0 / act_scale
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(
+        jnp.int8
+    )
+    return xq.reshape(shape)
+
+
+def _stem_q_packed(qparams, act_scales, images, config: ModelConfig):
+    """Width-packed int8 conv1_1 + conv1_2 + pool1 -> (B, H/2, W/2, 64).
+
+    The 64-channel stem convs waste half the TPU's 128 vector lanes
+    unpacked; packing width pairs into channels (packed_conv.py) fills
+    them. Bit-exact with the unpacked int8 stem (int32 accumulation).
+    """
+    from ssd_tensorflow_tpu.models.packed_conv import preprocess_flat
+
+    x = preprocess_flat(images, config.mean_bgr, jnp.float32)
+    xq = _quantize_lanes(x, act_scales["conv1_1"], flat_groups=2)
+
+    def qconv_packed(name, xq):
+        qp = _pack_qconv3x3(qparams[name])
+        y = lax.conv_general_dilated(
+            xq, qp["wq"], (1, 1), "SAME",
+            dimension_numbers=_DIMNUMS,
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (
+            act_scales[name] * qp["w_scale"]
+        ) + qp["b"]
+        return jax.nn.relu(y)
+
+    y = qconv_packed("conv1_1", xq).astype(jnp.bfloat16)
+    y = qconv_packed("conv1_2", _quantize_lanes(y, act_scales["conv1_2"]))
+    # pool1: height via windowed max; width is a lane-half max because
+    # each packed column holds the two pooled width-pixels
+    y = lax.reduce_window(
+        y, -jnp.inf, lax.max,
+        window_dimensions=(1, 2, 1, 1),
+        window_strides=(1, 2, 1, 1),
+        padding="SAME",
+    )
+    return jnp.maximum(y[..., :64], y[..., 64:]).astype(jnp.bfloat16)
+
+
 def _feature_maps_q(qparams, act_scales, images, config: ModelConfig):
     """int8 backbone + extras -> the preset's multibox source maps."""
     preset = config.preset
-    x = preprocess(images, config).astype(jnp.bfloat16)
+    packed = config.packed_stem and images.shape[2] % 2 == 0
+
+    if packed:
+        x = _stem_q_packed(qparams, act_scales, images, config)
+        layers = vgg16.VGG_CONV_LAYERS[2:]  # conv1_1/conv1_2/pool1 done
+    else:
+        x = preprocess(images, config).astype(jnp.bfloat16)
+        layers = vgg16.VGG_CONV_LAYERS
 
     conv4_3 = None
-    for name, _ in vgg16.VGG_CONV_LAYERS:
+    for name, _ in layers:
         x = _qconv(qparams[name], x, act_scales[name])
         if name == "conv4_3":
             conv4_3 = x
@@ -96,7 +180,11 @@ def _feature_maps_q(qparams, act_scales, images, config: ModelConfig):
     x = _qconv(qparams["mod_conv7"], x, act_scales["mod_conv7"])
 
     maps = [
-        l2_normalize_scale(conv4_3, qparams["l2_norm_conv4_3"]["scale"]),
+        l2_normalize_scale(
+            conv4_3,
+            qparams["l2_norm_conv4_3"]["scale"],
+            eps=config.l2_norm_eps,
+        ),
         x,
     ]
     for name, _, _, stride, padding in _extra_layer_defs(preset.num_maps):
@@ -216,7 +304,11 @@ def _calibrate_amps_jit(
     x = conv_relu(params["mod_conv7"], x)
 
     maps = [
-        l2_normalize_scale(conv4_3, params["l2_norm_conv4_3"]["scale"]),
+        l2_normalize_scale(
+            conv4_3,
+            params["l2_norm_conv4_3"]["scale"],
+            eps=config.l2_norm_eps,
+        ),
         x,
     ]
     for name, _, _, stride, padding in _extra_layer_defs(preset.num_maps):

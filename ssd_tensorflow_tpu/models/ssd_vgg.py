@@ -59,6 +59,12 @@ class ModelConfig:
     #: parameters either way; differentiable; disable for exact
     #: bit-parity with the unpacked path.
     packed_stem: bool = True
+    #: epsilon inside the conv4_3 L2-normalization rsqrt. QAT training
+    #: sets 1e-3 (activation fake-quant rounds small values to exact
+    #: zeros; rsqrt(1e-12) there makes 1e6-scale gradients) and the value
+    #: travels in the checkpoint config so float eval, calibration and
+    #: the int8 deploy path all compute exactly what QAT trained.
+    l2_norm_eps: float = 1e-12
 
     @property
     def preset(self) -> SSDPreset:
@@ -181,7 +187,12 @@ def _feature_maps(
             params, x, config.a_trous, f32_out=inference
         )
 
-    maps = [l2_normalize_scale(conv4_3, params["l2_norm_conv4_3"]["scale"]), x]
+    maps = [
+        l2_normalize_scale(
+            conv4_3, params["l2_norm_conv4_3"]["scale"], eps=config.l2_norm_eps
+        ),
+        x,
+    ]
 
     for name, _, _, stride, padding in _extra_layer_defs(preset.num_maps):
         if name == "conv12_1":

@@ -50,6 +50,14 @@ class DetectionConfig:
     #: intermediates in VMEM. Requires top_k to be a multiple of 128.
     use_pallas_nms: bool = False
 
+    def __post_init__(self):
+        if self.use_pallas_nms and self.top_k % 128 != 0:
+            raise ValueError(
+                "use_pallas_nms needs top_k to be a multiple of 128 (the "
+                f"kernel's lane tile); got top_k={self.top_k}. Use e.g. "
+                "top_k=256, or leave use_pallas_nms off for the XLA NMS."
+            )
+
 
 @dataclasses.dataclass
 class Detections:

@@ -131,7 +131,10 @@ def fused_stem_pallas(params, images, mean_bgr, compute_dtype,
       same math as models/packed_conv.conv1_block_packed.
     """
     B, H, W, C = images.shape
-    assert C == 3 and W % 2 == 0, (H, W, C)
+    # H must be even too: the final out[:, :H // 2] slice would silently
+    # drop the last pooled row for odd H, where the XLA stem's
+    # SAME-padded 2x2/s2 pool emits ceil(H/2) rows.
+    assert C == 3 and W % 2 == 0 and H % 2 == 0, (H, W, C)
     out_dtype = jnp.dtype(compute_dtype)
     assert out_dtype == jnp.bfloat16, (
         "fused_stem_pallas is a bf16 kernel; use the XLA stem for "

@@ -195,3 +195,40 @@ class TestPipeline:
         img, boxes, labels, mask, gt = proc(samples[0])
         # a 0.4x0.5 centered box must match some anchor
         assert mask.any()
+
+
+class TestDecodeCache:
+    def test_cache_returns_fresh_copies(self, tmp_path):
+        import cv2
+
+        path = str(tmp_path / "img.png")
+        cv2.imwrite(path, np.full((8, 8, 3), 77, np.uint8))
+        gt = Sample(path, [], Size(8, 8))
+        loader = T.ImageLoaderTransform()
+        T.enable_decode_cache(True)
+        try:
+            img1, _, _ = loader(None, None, gt)
+            assert (img1 == 77).all()
+            img1 += 1  # mutating the handed-out copy ...
+            img2, _, _ = loader(None, None, gt)
+            assert (img2 == 77).all()  # ... must not poison the cache
+            assert len(T._DECODE_CACHE) == 1
+            # second distinct file
+            path2 = str(tmp_path / "img2.png")
+            cv2.imwrite(path2, np.zeros((4, 4, 3), np.uint8))
+            loader(None, None, Sample(path2, [], Size(4, 4)))
+            assert len(T._DECODE_CACHE) == 2
+        finally:
+            T.enable_decode_cache(False)
+        assert len(T._DECODE_CACHE) == 0
+
+    def test_missing_file_not_cached(self):
+        T.enable_decode_cache(True)
+        try:
+            img, _, _ = T.ImageLoaderTransform()(
+                None, None, Sample("/nonexistent.jpg", [], Size(1, 1))
+            )
+            assert img is None
+            assert len(T._DECODE_CACHE) == 0
+        finally:
+            T.enable_decode_cache(False)

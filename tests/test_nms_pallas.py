@@ -64,19 +64,21 @@ class TestDecodeScoresPallas:
             decode_scores,
         )
 
-        A = 64
+        A = 256
         conf = jnp.asarray(rng.uniform(0, 1, (2, A)).astype(np.float32))
         cls = jnp.asarray(rng.integers(0, 3, (2, A)), jnp.int32)
         locs = jnp.asarray(rng.normal(0, 0.3, (2, A, 4)).astype(np.float32))
         anchors = jnp.asarray(
             rng.uniform(0.2, 0.8, (A, 4)).astype(np.float32)
         )
-        base = DetectionConfig(top_k=16, confidence_threshold=0.05)
+        # top_k=128: the pallas flag validates top_k % 128 == 0 at
+        # config construction (DetectionConfig.__post_init__)
+        base = DetectionConfig(top_k=128, confidence_threshold=0.05)
         want = decode_scores(conf, cls, locs, anchors, base)
         got = decode_scores(
             conf, cls, locs, anchors,
             DetectionConfig(
-                top_k=16, confidence_threshold=0.05, use_pallas_nms=True
+                top_k=128, confidence_threshold=0.05, use_pallas_nms=True
             ),
         )
         np.testing.assert_array_equal(

@@ -23,7 +23,8 @@ from ssd_tensorflow_tpu.presets import get_preset_by_name
 
 def setup_small(rng, n_images=2):
     cfg = ModelConfig(
-        preset_name="test64", num_classes=3, compute_dtype="float32"
+        preset_name="test64", num_classes=3, compute_dtype="float32",
+        l2_norm_eps=1e-3,  # the QAT eps contract (models/qat.py)
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     images = jnp.asarray(

@@ -170,3 +170,40 @@ class TestQuantizedScoresPath:
         np.testing.assert_allclose(
             np.asarray(locs), np.asarray(locs_ref), rtol=1e-4, atol=1e-5
         )
+
+
+class TestPackedInt8Stem:
+    def test_packed_stem_bit_exact(self, rng):
+        """The width-packed int8 stem computes the SAME int32 sums as
+        the unpacked one (structured zeros), so the whole quantized
+        forward must be exactly equal under either flag."""
+        import dataclasses
+
+        import jax
+
+        from ssd_tensorflow_tpu.models.quantized import (
+            QuantizedModel,
+            _forward,
+        )
+        from ssd_tensorflow_tpu.models.ssd_vgg import (
+            ModelConfig,
+            init_params,
+        )
+
+        cfg_packed = ModelConfig(
+            preset_name="test64", num_classes=3, compute_dtype="float32",
+            packed_stem=True,
+        )
+        cfg_unpacked = dataclasses.replace(cfg_packed, packed_stem=False)
+        params = init_params(jax.random.PRNGKey(0), cfg_packed)
+        images = jnp.asarray(
+            rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+        )
+        qm = QuantizedModel(params, cfg_unpacked, images, percentile=100.0)
+        out_unpacked = qm.result(images)
+        out_packed = jax.jit(
+            lambda p, x: _forward(p, qm.act_scales, x, cfg_packed)
+        )(qm.qparams, images)
+        np.testing.assert_array_equal(
+            np.asarray(out_packed), np.asarray(out_unpacked)
+        )

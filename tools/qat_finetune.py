@@ -106,6 +106,7 @@ def main(argv=None):
             preset_name=td.preset.name, num_classes=td.num_classes
         ),
         compute_dtype="float32",  # QAT math is exact-integer-in-f32
+        l2_norm_eps=1e-3,  # bounds the rsqrt backward, see models/qat.py
     )
     train_cfg = TrainConfig(
         model=model_cfg,
