@@ -2,12 +2,28 @@
 """Headline benchmark: batch-64 fused-NMS inference throughput on one chip.
 
 Measures the full deployed inference path — uint8 BGR batch in,
-preprocess + SSD forward (bfloat16) + softmax + top-k decode +
-class-aware NMS, all inside one jitted program — and prints ONE JSON
-line. The default invocation is the baseline's stated perf config
-(BASELINE.json configs[4]): vgg512, batch 64, fused on-device NMS,
-target 1000 images/sec/chip on TPU v5e. Use --preset vgg300 for the
-smaller flagship (which exceeds the target ~1.9x in bf16).
+preprocess + SSD forward + softmax + top-k decode + class-aware NMS,
+all inside one jitted program — and prints ONE JSON line. The default
+invocation is the baseline's stated perf config (BASELINE.json
+configs[4]): vgg512, batch 64, fused on-device NMS, target 1000
+images/sec/chip on TPU v5e, measured on the **int8 W8A8 deploy path**
+(models/quantized.py) — the configuration export_model.py --quantize
+actually ships, with activation scales calibrated on real images:
+
+  * if the deployable bundle ``assets/vgg512_int8_minivoc.ssdtpu.npz``
+    exists (exported from the miniVOC-trained checkpoint with real
+    calibration images; provenance in docs/PERFORMANCE.md), it is
+    benchmarked as-is;
+  * otherwise the quantized program is built on the spot, calibrating
+    on committed real JPEGs (tests/fixtures/minivoc). Throughput is
+    weight- and scale-insensitive, so both give the same number — but
+    noise calibration (which cli/export_model.py refuses for deploys)
+    is never used.
+
+``--float`` measures the bf16 path instead (0.73x target on vgg512 —
+within ~6% of that network's bf16 speed-of-light on this chip, see
+docs/PERFORMANCE.md roofline). Accuracy parity evidence for int8 vs
+float lives next to the numbers in docs/PERFORMANCE.md.
 
 Methodology: N data-dependent iterations are chained inside a single
 jitted fori_loop and the result fetched as a scalar, so the measurement
@@ -17,11 +33,40 @@ a per-call host sync would instead pay the ~34 ms tunnel round-trip).
 """
 
 import argparse
+import glob
 import json
 import os
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+DEPLOY_BUNDLE = os.path.join(REPO, "assets", "vgg512_int8_minivoc.ssdtpu.npz")
+CALIB_GLOB = os.path.join(
+    REPO, "tests", "fixtures", "minivoc", "trainval",
+    "VOCdevkit", "*", "JPEGImages", "*.jpg",
+)
+
+#: BASELINE.json configs[4]: vgg512 batch-64 fused-NMS inference,
+#: 1000 images/sec/chip on TPU v5e.
+INFERENCE_BASELINE = 1000.0
+
+
+def _real_calibration_images(h, w, count=16):
+    """Committed real JPEGs resized to the preset size (no noise)."""
+    import cv2
+    import numpy as np
+
+    files = sorted(glob.glob(CALIB_GLOB))[:count]
+    if not files:
+        raise FileNotFoundError(
+            f"no calibration JPEGs under {CALIB_GLOB}; refusing to "
+            "noise-calibrate (see cli/export_model.py)"
+        )
+    out = np.zeros((len(files), h, w, 3), dtype=np.uint8)
+    for i, f in enumerate(files):
+        out[i] = cv2.resize(cv2.imread(f), (w, h))
+    return out
 
 
 def main():
@@ -32,8 +77,13 @@ def main():
     parser.add_argument("--repeats", type=int, default=3, help="timings; best is reported")
     parser.add_argument("--compute-dtype", default="bfloat16")
     parser.add_argument(
-        "--quantized", action="store_true",
-        help="run the int8 W8A8 deploy path (models/quantized.py)",
+        "--float", action="store_true",
+        help="measure the bf16 path instead of the int8 deploy path",
+    )
+    parser.add_argument(
+        "--bundle", default=None,
+        help="benchmark this exported bundle (float or int8) instead of "
+        "the default deploy configuration",
     )
     parser.add_argument("--mode", default="inference", choices=["inference", "train"])
     parser.add_argument(
@@ -55,34 +105,55 @@ def main():
     )
     from ssd_tensorflow_tpu.presets import get_preset_by_name
 
-    config = ModelConfig(
-        preset_name=args.preset,
-        num_classes=20,
-        compute_dtype=args.compute_dtype,
-    )
-    params = init_params(jax.random.PRNGKey(0), config)
-    anchors = jnp.asarray(anchors_for_preset(get_preset_by_name(args.preset)))
     det_cfg = DetectionConfig(top_k=200, confidence_threshold=0.01)
-
-    h, w = config.preset.image_size.h, config.preset.image_size.w
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.integers(0, 255, (args.batch_size, h, w, 3), dtype=np.uint8)
-    )
 
     if args.mode == "inference":
-        if args.quantized:
+        bundle_path = args.bundle
+        if (
+            bundle_path is None
+            and not args.float
+            and args.preset == "vgg512"  # the committed bundle's preset
+            and os.path.exists(DEPLOY_BUNDLE)
+        ):
+            bundle_path = DEPLOY_BUNDLE
+
+        if bundle_path is not None:
+            from ssd_tensorflow_tpu.inference import load_bundle
+
+            params, config, _, act_scales = load_bundle(bundle_path)
+            quantized = act_scales is not None
+        else:
+            config = ModelConfig(
+                preset_name=args.preset,
+                num_classes=20,
+                compute_dtype=args.compute_dtype,
+            )
+            params = init_params(jax.random.PRNGKey(0), config)
+            quantized = not args.float
+            act_scales = None
+
+        h, w = config.preset.image_size.h, config.preset.image_size.w
+        anchors = jnp.asarray(anchors_for_preset(config.preset))
+        images = jnp.asarray(
+            rng.integers(0, 255, (args.batch_size, h, w, 3), dtype=np.uint8)
+        )
+
+        if quantized:
             from ssd_tensorflow_tpu.models.quantized import (
                 QuantizedModel,
                 _forward_scores,
             )
 
-            calib = jnp.asarray(
-                rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8)
-            )
-            qm = QuantizedModel(params, config, calib)
-            params = qm.qparams
-            scales = qm.act_scales
+            if act_scales is None:
+                # same calibration class export_model.py ships: real
+                # committed images, never noise
+                qm = QuantizedModel(
+                    params, config, _real_calibration_images(h, w)
+                )
+                params, act_scales = qm.qparams, qm.act_scales
+
+            scales = act_scales
 
             def one_step(p, x):
                 conf, cls, locs = _forward_scores(p, scales, x, config)
@@ -110,10 +181,25 @@ def main():
             t0 = time.perf_counter()
             float(fn(params, images))
             best = min(best, (time.perf_counter() - t0) / args.iters)
-        kind = "int8_" if args.quantized else ""
-        metric = f"{args.preset}_batch{args.batch_size}_{kind}fused_nms_inference"
-        baseline = 1000.0
+        kind = "int8_" if quantized else ""
+        metric = (
+            f"{config.preset.name}_batch{args.batch_size}_"
+            f"{kind}fused_nms_inference"
+        )
+        images_per_sec = args.batch_size / best
+        vs_baseline = round(images_per_sec / INFERENCE_BASELINE, 4)
     else:
+        config = ModelConfig(
+            preset_name=args.preset,
+            num_classes=20,
+            compute_dtype=args.compute_dtype,
+        )
+        params = init_params(jax.random.PRNGKey(0), config)
+        anchors = jnp.asarray(anchors_for_preset(config.preset))
+        h, w = config.preset.image_size.h, config.preset.image_size.w
+        images = jnp.asarray(
+            rng.integers(0, 255, (args.batch_size, h, w, 3), dtype=np.uint8)
+        )
         from ssd_tensorflow_tpu.parallel.train_step import (
             TrainConfig,
             make_train_state,
@@ -176,16 +262,19 @@ def main():
                 best = min(best, (time.perf_counter() - t0) / args.iters)
             kind = "train_step"
         metric = f"{args.preset}_batch{args.batch_size}_{kind}"
-        baseline = 100.0  # img/s; the 2017-era reference trained ~batch-8/GPU
+        images_per_sec = args.batch_size / best
+        # the reference publishes no training throughput (SURVEY.md §6)
+        # and inventing a constant would launder a guess into a metric —
+        # train mode reports the raw number with no ratio
+        vs_baseline = None
 
-    images_per_sec = args.batch_size / best
     print(
         json.dumps(
             {
                 "metric": metric,
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(images_per_sec / baseline, 4),
+                "vs_baseline": vs_baseline,
             }
         )
     )

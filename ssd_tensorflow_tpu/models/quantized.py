@@ -78,6 +78,14 @@ def _qconv(qp, x, act_scale, stride=1, padding="SAME", dilation=1, relu=True):
 
 _POOL_AFTER = {"conv1_2", "conv2_2", "conv3_3", "conv4_3"}
 
+#: Width-packed int8 stem: measured a ~1% LOSS on v5e (vgg512 b64:
+#: 1039 vs 1050 img/s, best-of-4 chained) — unlike bf16, the int8 conv
+#: path is not lane-starved at 64 channels, so doubling nominal FLOPs
+#: for full lanes nets out negative. Kept as a bit-exact alternative
+#: (tests/test_quantized.py::TestPackedInt8Stem); flip to re-measure on
+#: other TPU generations.
+INT8_PACKED_STEM = False
+
 
 def _pack_qconv3x3(qp):
     """Width-pack an int8-quantized 3x3 conv (models/packed_conv.py).
@@ -159,7 +167,11 @@ def _stem_q_packed(qparams, act_scales, images, config: ModelConfig):
 def _feature_maps_q(qparams, act_scales, images, config: ModelConfig):
     """int8 backbone + extras -> the preset's multibox source maps."""
     preset = config.preset
-    packed = config.packed_stem and images.shape[2] % 2 == 0
+    packed = (
+        INT8_PACKED_STEM
+        and config.packed_stem
+        and images.shape[2] % 2 == 0
+    )
 
     if packed:
         x = _stem_q_packed(qparams, act_scales, images, config)

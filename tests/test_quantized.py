@@ -181,6 +181,7 @@ class TestPackedInt8Stem:
 
         import jax
 
+        import ssd_tensorflow_tpu.models.quantized as q
         from ssd_tensorflow_tpu.models.quantized import (
             QuantizedModel,
             _forward,
@@ -201,9 +202,14 @@ class TestPackedInt8Stem:
         )
         qm = QuantizedModel(params, cfg_unpacked, images, percentile=100.0)
         out_unpacked = qm.result(images)
-        out_packed = jax.jit(
-            lambda p, x: _forward(p, qm.act_scales, x, cfg_packed)
-        )(qm.qparams, images)
+        prev = q.INT8_PACKED_STEM
+        q.INT8_PACKED_STEM = True  # measured-off by default on v5e
+        try:
+            out_packed = jax.jit(
+                lambda p, x: _forward(p, qm.act_scales, x, cfg_packed)
+            )(qm.qparams, images)
+        finally:
+            q.INT8_PACKED_STEM = prev
         np.testing.assert_array_equal(
             np.asarray(out_packed), np.asarray(out_unpacked)
         )
