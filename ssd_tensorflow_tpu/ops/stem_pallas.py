@@ -60,6 +60,177 @@ from ssd_tensorflow_tpu.models.packed_conv import (
 _TILE = 32
 
 
+def _stem_kernel_dma(c1_hbm, b1_ref, w2_ref, b2_ref, out_ref, buf, c1s_ref,
+                     sems, *, h_valid, h_pad, wp, out_dtype):
+    """Manual-DMA variant of :func:`_stem_kernel`.
+
+    ``c1_hbm`` is the FULL conv1_1 output left in HBM (memory_space=ANY,
+    passed once); each grid step DMAs its 34 rows (body + one halo row
+    each side) into a double-buffered VMEM scratch itself. Motivation:
+    the BlockSpec version needs the same array as three operands (body +
+    two halo streams), and XLA materializes defensive copies of the
+    2.1 GB activation around the custom call (docs/PERFORMANCE.md).
+    Here there is exactly one operand and no XLA-side halo arrays.
+
+    DMA volume is 2.2 MB/step (~3 us at HBM speed) vs ~16 us of compute,
+    so one-step-ahead prefetch fully hides it.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    def start_fetch(bb, tt, slot):
+        row0 = tt * _TILE
+        top = jnp.clip(row0 - 1, 0, h_pad - 1)
+        pltpu.make_async_copy(
+            c1_hbm.at[bb, pl.ds(top, 1)], buf.at[slot, 0:1], sems.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            c1_hbm.at[bb, pl.ds(row0, _TILE)],
+            buf.at[slot, 1 : _TILE + 1],
+            sems.at[slot, 1],
+        ).start()
+        bot = jnp.clip(row0 + _TILE, 0, h_pad - 1)
+        pltpu.make_async_copy(
+            c1_hbm.at[bb, pl.ds(bot, 1)],
+            buf.at[slot, _TILE + 1 : _TILE + 2],
+            sems.at[slot, 2],
+        ).start()
+
+    def wait_fetch(slot):
+        pltpu.make_async_copy(
+            c1_hbm.at[0, pl.ds(0, 1)], buf.at[slot, 0:1], sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            c1_hbm.at[0, pl.ds(0, _TILE)],
+            buf.at[slot, 1 : _TILE + 1],
+            sems.at[slot, 1],
+        ).wait()
+        pltpu.make_async_copy(
+            c1_hbm.at[0, pl.ds(0, 1)],
+            buf.at[slot, _TILE + 1 : _TILE + 2],
+            sems.at[slot, 2],
+        ).wait()
+
+    step = b * nt + t
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        start_fetch(b, t, slot)
+
+    # prefetch the next grid step's rows into the other buffer
+    next_slot = jax.lax.rem(step + 1, 2)
+    last_t = t == nt - 1
+
+    @pl.when(jnp.logical_not(last_t))
+    def _():
+        start_fetch(b, t + 1, next_slot)
+
+    @pl.when(jnp.logical_and(last_t, b + 1 < pl.num_programs(0)))
+    def _():
+        start_fetch(b + 1, 0, next_slot)
+
+    wait_fetch(slot)
+
+    b1 = b1_ref[0, :]
+    y1 = jax.nn.relu(buf[slot].astype(jnp.float32) + b1).astype(jnp.bfloat16)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (_TILE + 2, 1, 1), 0)
+    rows = _TILE * t - 1 + s_idx
+    valid = jnp.logical_and(rows >= 0, rows < h_valid)
+    c1s_ref[:, 1 : wp + 1, :] = jnp.where(valid, y1, jnp.bfloat16(0))
+    c1s_ref[:, 0:1, :] = jnp.zeros((_TILE + 2, 1, 128), jnp.bfloat16)
+    c1s_ref[:, wp + 1 :, :] = jnp.zeros((_TILE + 2, 1, 128), jnp.bfloat16)
+
+    acc = jnp.zeros((_TILE, wp, 128), jnp.float32)
+    for dy in range(3):
+        for dxp in range(3):
+            a = c1s_ref[dy : dy + _TILE, dxp : dxp + wp, :]
+            acc = acc + jax.lax.dot_general(
+                a, w2_ref[dy, dxp],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    y2 = jax.nn.relu(acc + b2_ref[0, :])
+
+    z = jnp.max(y2.reshape(_TILE // 2, 2, wp, 128), axis=1)
+    out_ref[0] = jnp.maximum(z[:, :, :64], z[:, :, 64:]).astype(out_dtype)
+
+
+def fused_stem_pallas_dma(params, images, mean_bgr, compute_dtype,
+                          interpret: bool = False):
+    """Like :func:`fused_stem_pallas`, but the kernel fetches conv1_1
+    rows from HBM itself (single ANY-space operand, manual
+    double-buffered DMA) instead of three BlockSpec streams."""
+    B, H, W, C = images.shape
+    assert C == 3 and W % 2 == 0 and H % 2 == 0, (H, W, C)
+    out_dtype = jnp.dtype(compute_dtype)
+    assert out_dtype == jnp.bfloat16, (
+        "fused_stem_pallas_dma is a bf16 kernel; use the XLA stem for "
+        f"compute_dtype={compute_dtype}"
+    )
+    wp = W // 2
+    n_tiles = -(-H // _TILE)
+    h_pad = n_tiles * _TILE
+
+    x = preprocess_flat(images, mean_bgr, jnp.bfloat16)
+    w1p, b1p = pack_conv3x3_weights(params["conv1_1"]["w"],
+                                    params["conv1_1"]["b"])
+    c1 = conv2d(x, w1p, None, f32_out=False)  # (B, H, wp, 128)
+    if h_pad != H:
+        c1 = jnp.pad(c1, ((0, 0), (0, h_pad - H), (0, 0), (0, 0)))
+
+    w2p, b2p = pack_conv3x3_weights(params["conv1_2"]["w"],
+                                    params["conv1_2"]["b"])
+    w2p = w2p.astype(jnp.bfloat16)
+
+    kernel = partial(
+        _stem_kernel_dma, h_valid=H, h_pad=h_pad, wp=wp, out_dtype=out_dtype
+    )
+    half = _TILE // 2
+    flops = B * n_tiles * 9 * _TILE * wp * 128 * 128 * 2
+    bytes_accessed = (
+        c1.size * 2 + B * h_pad // 2 * wp * 64 * out_dtype.itemsize
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 128), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, 128, 128), lambda b, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, half, wp, 64),
+                               lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_tiles * half, wp, 64), out_dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, _TILE + 2, wp, 128), jnp.bfloat16),
+            pltpu.VMEM((_TILE + 2, wp + 2, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        c1,
+        b1p.astype(jnp.float32).reshape(1, 128),
+        w2p,
+        b2p.astype(jnp.float32).reshape(1, 128),
+    )
+    return out[:, :H // 2]
+
+
 def _stem_kernel(body_ref, top_ref, bot_ref, b1_ref, w2_ref, b2_ref,
                  out_ref, c1_ref, *, h_valid, wp, out_dtype):
     """One (image, row-tile) step.

@@ -62,3 +62,24 @@ def test_rejects_non_bf16(params):
     img = jnp.zeros((1, 64, 64, 3), jnp.uint8)
     with pytest.raises(AssertionError):
         fused_stem_pallas(params, img, MEAN, "float32", interpret=True)
+
+
+@pytest.mark.parametrize(
+    "h,w",
+    [
+        (32, 64),    # single row-tile (prefetch crosses image boundary)
+        (96, 64),    # three tiles
+        (300, 300),  # padded height (vgg300)
+    ],
+)
+def test_dma_variant_matches_packed_stem(params, h, w):
+    from ssd_tensorflow_tpu.ops.stem_pallas import fused_stem_pallas_dma
+
+    rng = np.random.default_rng(42)
+    img = jnp.asarray(rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8))
+    ref = conv1_block_packed(params, img, MEAN, "bfloat16", f32_out=True)
+    got = fused_stem_pallas_dma(params, img, MEAN, "bfloat16", interpret=True)
+    assert got.shape == ref.shape == (2, h // 2, w // 2, 64)
+    diff = jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)))
+    scale = jnp.max(jnp.abs(ref.astype(jnp.float32)))
+    assert float(diff) <= 0.005 * float(scale) + 0.25
