@@ -386,3 +386,70 @@ def test_ap_parity(ref, rng):
     assert set(ref_aps) == set(our_aps)
     for k in ref_aps:
         assert our_aps[k] == pytest.approx(ref_aps[k], abs=1e-9), k
+
+
+# ---------------------------------------------------------------------------
+# end-to-end prediction decode: decode_boxes + suppress_overlaps vs detect()
+# ---------------------------------------------------------------------------
+
+
+def test_full_decode_chain_parity(ref, rng):
+    """Random (A, K+5) prediction tensors through the reference's
+    decode_boxes -> suppress_overlaps chain vs our fused detect():
+    same surviving (class, conf, box) sets."""
+    import jax.numpy as jnp
+
+    from ssd_tensorflow_tpu.ops.anchors import anchors_for_preset
+    from ssd_tensorflow_tpu.ops.postprocess import DetectionConfig, detect
+    from ssd_tensorflow_tpu.presets import get_preset_by_name
+
+    K = 4
+    preset = get_preset_by_name("vgg300")
+    anchors = anchors_for_preset(preset)
+    ref_anchors = ref.ssdutils.get_anchors_for_preset(
+        ref.ssdutils.get_preset_by_name("vgg300")
+    )
+    A = anchors.shape[0]
+
+    cfg = DetectionConfig(
+        top_k=200, confidence_threshold=0.3, max_detections=200
+    )
+
+    for _ in range(5):
+        # mostly-background probabilities with a few hot anchors
+        logits = rng.normal(0, 1, (A, K + 1))
+        logits[:, K] += 4.0  # background prior
+        hot = rng.choice(A, 40, replace=False)
+        logits[hot, :] = rng.normal(0, 1, (40, K + 1))
+        logits[hot, rng.integers(0, K, 40)] += rng.uniform(2, 6, 40)
+        probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        locs = rng.normal(0, 2, (A, 4))
+        pred = np.concatenate([probs, locs], axis=1).astype(np.float32)
+
+        ref_boxes = ref.ssdutils.decode_boxes(
+            pred, ref_anchors, confidence_threshold=cfg.confidence_threshold,
+            detections_cap=cfg.top_k,
+        )
+        ref_final = ref.ssdutils.suppress_overlaps(ref_boxes)[
+            : cfg.max_detections
+        ]
+        want = sorted(
+            (int(b.labelid), round(float(c), 4),
+             round(b.center.x, 4), round(b.center.y, 4),
+             round(b.size.w, 4), round(b.size.h, 4))
+            for c, b in ref_final
+        )
+
+        dets = detect(jnp.asarray(pred)[None], jnp.asarray(anchors), cfg)
+        v = np.asarray(dets.valid[0])
+        got = sorted(
+            (int(cl), round(float(s), 4),
+             round(float(bx[0]), 4), round(float(bx[1]), 4),
+             round(float(bx[2]), 4), round(float(bx[3]), 4))
+            for cl, s, bx in zip(
+                np.asarray(dets.classes[0])[v],
+                np.asarray(dets.scores[0])[v],
+                np.asarray(dets.boxes[0])[v],
+            )
+        )
+        assert got == want
