@@ -31,6 +31,13 @@ def build_parser():
         "--checkpoint", type=int, default=-1, help="checkpoint to restore; -1 is the most recent"
     )
     parser.add_argument(
+        "--bundle", default=None,
+        help="evaluate an exported inference bundle (float or int8, "
+        "export_model.py output) instead of a training checkpoint — "
+        "runs the exact deployed program through the same mAP/"
+        "pascal-summary machinery",
+    )
+    parser.add_argument(
         "--training-data",
         default="pascal-voc/training-data.json",
         help="training data artifact (for label names and colors)",
@@ -66,11 +73,15 @@ def main(argv=None):
         print(f"[i] {k.replace('_', ' ').capitalize():24s}: {v}")
 
     # checkpoint (reference: infer.py:107-126)
-    ckpt_path, epoch = find_checkpoint(args.name, args.checkpoint)
-    if ckpt_path is None:
-        print("[!] No checkpoints found in", args.name)
-        return 1
-    print("[i] Checkpoint:", ckpt_path)
+    if args.bundle:
+        ckpt_path = None
+        print("[i] Bundle:", args.bundle)
+    else:
+        ckpt_path, epoch = find_checkpoint(args.name, args.checkpoint)
+        if ckpt_path is None:
+            print("[!] No checkpoints found in", args.name)
+            return 1
+        print("[i] Checkpoint:", ckpt_path)
 
     # dataset-provided files + ground truth
     source = None
@@ -93,12 +104,11 @@ def main(argv=None):
         print("[!] No files to process")
         return 1
 
-    model = InferenceModel.from_checkpoint(
-        ckpt_path,
-        detection=DetectionConfig(
-            top_k=200, confidence_threshold=args.threshold
-        ),
-    )
+    detection = DetectionConfig(top_k=200, confidence_threshold=args.threshold)
+    if args.bundle:
+        model = InferenceModel.from_bundle(args.bundle, detection=detection)
+    else:
+        model = InferenceModel.from_checkpoint(ckpt_path, detection=detection)
 
     os.makedirs(args.output_dir, exist_ok=True)
 

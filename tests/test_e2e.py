@@ -148,6 +148,25 @@ def test_full_pipeline(dataset, tmp_path):
     assert rc == 0
     assert os.path.exists(bundle)
 
+    # ---- infer straight from the exported bundle -------------------------
+    bundle_out = str(tmp_path / "infer-bundle-out")
+    rc = infer_main(
+        [
+            files[0],
+            "--bundle", bundle,
+            "--training-data", os.path.join(data_dir, "training-data.json"),
+            "--output-dir", bundle_out,
+            "--batch-size", "2",
+            "--threshold", "0.01",
+            "--compute-stats", "no",
+            "--annotate", "yes",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(
+        os.path.join(bundle_out, os.path.basename(files[0]))
+    )
+
     # ---- detect standalone ----------------------------------------------
     from ssd_tensorflow_tpu.cli.detect import main as detect_main
 
