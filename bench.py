@@ -81,6 +81,11 @@ def main():
         help="measure the bf16 path instead of the int8 deploy path",
     )
     parser.add_argument(
+        "--pallas-stem", action="store_true",
+        help="with --float: run conv1_2+pool1 as the manual-DMA Pallas "
+        "kernel (ops/stem_pallas.py) instead of the packed XLA stem",
+    )
+    parser.add_argument(
         "--bundle", default=None,
         help="benchmark this exported bundle (float or int8) instead of "
         "the default deploy configuration",
@@ -128,6 +133,7 @@ def main():
                 preset_name=args.preset,
                 num_classes=20,
                 compute_dtype=args.compute_dtype,
+                pallas_stem=args.pallas_stem,
             )
             params = init_params(jax.random.PRNGKey(0), config)
             quantized = not args.float

@@ -59,12 +59,27 @@ class ModelConfig:
     #: parameters either way; differentiable; disable for exact
     #: bit-parity with the unpacked path.
     packed_stem: bool = True
+    #: run conv1_2+pool1 as the manual-DMA Pallas kernel
+    #: (ops/stem_pallas.fused_stem_pallas_dma) on the inference path:
+    #: conv1_2's 2.1 GB activation never touches HBM. bf16-only and
+    #: inference-only (no VJP) — training and non-bf16 forwards fall
+    #: back to the packed XLA stem. Off CPU/interpret the kernel runs
+    #: in interpret mode so the wiring stays testable.
+    pallas_stem: bool = False
     #: epsilon inside the conv4_3 L2-normalization rsqrt. QAT training
     #: sets 1e-3 (activation fake-quant rounds small values to exact
     #: zeros; rsqrt(1e-12) there makes 1e6-scale gradients) and the value
     #: travels in the checkpoint config so float eval, calibration and
     #: the int8 deploy path all compute exactly what QAT trained.
     l2_norm_eps: float = 1e-12
+
+    def __post_init__(self):
+        if self.pallas_stem and self.compute_dtype != "bfloat16":
+            raise ValueError(
+                "pallas_stem requires compute_dtype='bfloat16' "
+                f"(got {self.compute_dtype!r}); the fused stem kernel "
+                "is a bf16 MXU kernel (ops/stem_pallas.py)"
+            )
 
     @property
     def preset(self) -> SSDPreset:
@@ -166,7 +181,22 @@ def _feature_maps(
     from ssd_tensorflow_tpu.models.layers import l2_normalize_scale
 
     preset = config.preset
-    if config.packed_stem and not preprocessed:
+    if config.pallas_stem and inference and not preprocessed:
+        import jax as _jax
+
+        from ssd_tensorflow_tpu.ops.stem_pallas import fused_stem_pallas_dma
+
+        pool1 = fused_stem_pallas_dma(
+            params,
+            images,
+            config.mean_bgr,
+            config.compute_dtype,
+            interpret=_jax.default_backend() != "tpu",
+        )
+        conv4_3, x = vgg16.apply_backbone(
+            params, pool1, config.a_trous, f32_out=inference, from_pool1=True
+        )
+    elif config.packed_stem and not preprocessed:
         from ssd_tensorflow_tpu.models.packed_conv import conv1_block_packed
 
         pool1 = conv1_block_packed(

@@ -1,11 +1,12 @@
 """Parity tests for the experimental fused-stem Pallas kernel.
 
-ops/stem_pallas.py is an optional inference backend (not wired into
-the default path — see its module docstring for the measured
-tradeoffs). These tests pin its math to the width-packed XLA stem it
-replaces, across edge cases the kernel handles specially: tile-exact
-heights, heights needing padding, the single-tile case, and the
-SAME-padding zero semantics at image borders.
+ops/stem_pallas.py is an optional inference backend, wired into the
+model behind ``ModelConfig(pallas_stem=True)`` (default off — see the
+module docstring for the measured tradeoffs). These tests pin its math
+to the width-packed XLA stem it replaces, across edge cases the kernel
+handles specially: tile-exact heights, heights needing padding, the
+single-tile case, and the SAME-padding zero semantics at image
+borders — plus the model-level wiring.
 """
 
 import jax
@@ -62,6 +63,33 @@ def test_rejects_non_bf16(params):
     img = jnp.zeros((1, 64, 64, 3), jnp.uint8)
     with pytest.raises(AssertionError):
         fused_stem_pallas(params, img, MEAN, "float32", interpret=True)
+
+
+def test_model_wiring_pallas_stem():
+    """ModelConfig(pallas_stem=True) routes inference through the DMA
+    kernel (interpret-mode off-TPU) and matches the packed-stem scores."""
+    from ssd_tensorflow_tpu.models.ssd_vgg import apply_scores
+
+    cfg_ref = ModelConfig(preset_name="test64", num_classes=3)
+    cfg_pal = ModelConfig(preset_name="test64", num_classes=3,
+                          pallas_stem=True)
+    p = init_params(jax.random.PRNGKey(1), cfg_ref)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    conf_r, cls_r, locs_r = apply_scores(p, img, cfg_ref)
+    conf_p, cls_p, locs_p = apply_scores(p, img, cfg_pal)
+    assert conf_r.shape == conf_p.shape
+    # the stems differ only in bf16 summation order; downstream conf and
+    # locs must agree tightly and the argmax class almost everywhere
+    assert float(jnp.max(jnp.abs(conf_r - conf_p))) < 0.02
+    assert float(jnp.mean((cls_r == cls_p))) > 0.99
+    assert float(jnp.max(jnp.abs(locs_r - locs_p))) < 0.05
+
+
+def test_pallas_stem_requires_bf16():
+    with pytest.raises(ValueError, match="pallas_stem"):
+        ModelConfig(preset_name="test64", num_classes=3,
+                    pallas_stem=True, compute_dtype="float32")
 
 
 @pytest.mark.parametrize(
