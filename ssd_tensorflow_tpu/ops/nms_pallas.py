@@ -8,8 +8,9 @@ The XLA fallback (ops/nms.py) materializes the IoU matrix and runs a
 200-iteration HLO while-loop over it; the kernel keeps the whole state
 on-chip.
 
-Candidates must be sorted by descending score (they come from top_k)
-and padded to a lane-aligned D (multiple of 128).
+Candidates must be sorted by descending score (they come from top_k);
+a non-lane-aligned D is padded to the next multiple of 128 internally
+(padding rows are invalid, so they neither suppress nor get kept).
 """
 
 from __future__ import annotations
@@ -74,7 +75,8 @@ def nms_keep_pallas(corners, valid, threshold: float = 0.45, interpret: bool = F
     Args:
       corners: ``(B, D, 4)`` canvas corners (xmin, xmax, ymin, ymax),
         already class-offset for class-aware suppression, sorted by
-        descending score. D should be a multiple of 128.
+        descending score. Any D works; non-multiples of 128 are padded
+        to the lane tile internally.
       valid:   ``(B, D)`` bool candidate mask.
       threshold: IoU threshold.
       interpret: run the Pallas interpreter (for CPU tests).
@@ -82,7 +84,13 @@ def nms_keep_pallas(corners, valid, threshold: float = 0.45, interpret: bool = F
     Returns:
       ``(B, D)`` bool keep mask.
     """
-    b, d, _ = corners.shape
+    b, d_in, _ = corners.shape
+    d = max(128, -(-d_in // 128) * 128)
+    if d != d_in:
+        # invalid padding rows: val_i == 0 makes keep_i false in the
+        # kernel, so they can never suppress a real candidate
+        corners = jnp.pad(corners, ((0, 0), (0, d - d_in), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, d - d_in)))
     corners_t = jnp.transpose(corners, (0, 2, 1)).astype(jnp.float32)  # (B,4,D)
     valid_f = valid.astype(jnp.float32)[:, None, :]  # (B,1,D)
 
@@ -103,4 +111,4 @@ def nms_keep_pallas(corners, valid, threshold: float = 0.45, interpret: bool = F
         ],
         interpret=interpret,
     )(corners_t, valid_f)
-    return keep[:, 0, :] != 0.0
+    return keep[:, 0, :d_in] != 0.0

@@ -47,16 +47,9 @@ class DetectionConfig:
     #: run NMS as the fused Pallas kernel (ops/nms_pallas.py) instead of
     #: the XLA loop. Identical pick sets; both are latency-bound in the
     #: greedy loop, so throughput is at parity — the kernel keeps all
-    #: intermediates in VMEM. Requires top_k to be a multiple of 128.
+    #: intermediates in VMEM. Any top_k works: the kernel lane-pads
+    #: non-multiples of 128 internally with invalid candidates.
     use_pallas_nms: bool = False
-
-    def __post_init__(self):
-        if self.use_pallas_nms and self.top_k % 128 != 0:
-            raise ValueError(
-                "use_pallas_nms needs top_k to be a multiple of 128 (the "
-                f"kernel's lane tile); got top_k={self.top_k}. Use e.g. "
-                "top_k=256, or leave use_pallas_nms off for the XLA NMS."
-            )
 
 
 @dataclasses.dataclass

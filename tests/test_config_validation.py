@@ -16,9 +16,11 @@ from ssd_tensorflow_tpu.ops.postprocess import DetectionConfig
 
 
 class TestDetectionConfigPallasNMS:
-    def test_top_k_not_multiple_of_128_rejected(self):
-        with pytest.raises(ValueError, match="multiple of 128"):
-            DetectionConfig(top_k=200, use_pallas_nms=True)
+    def test_any_top_k_accepted_with_pallas(self):
+        # the kernel lane-pads internally (ops/nms_pallas.py), so the
+        # reference's default cap of 200 works with the Pallas path
+        cfg = DetectionConfig(top_k=200, use_pallas_nms=True)
+        assert cfg.top_k == 200
 
     def test_top_k_multiple_of_128_ok(self):
         cfg = DetectionConfig(top_k=256, use_pallas_nms=True)

@@ -27,10 +27,13 @@ def _candidates(rng, b, d, num_classes=4):
 
 
 class TestNMSPallasKernel:
-    @pytest.mark.parametrize("seed", range(3))
-    def test_matches_xla_path(self, seed):
+    @pytest.mark.parametrize("seed,d", [(0, 128), (1, 128), (2, 128),
+                                        (3, 200), (4, 57)])
+    def test_matches_xla_path(self, seed, d):
+        # d=200/57 exercise the internal lane padding (non-multiples of
+        # 128 must produce the identical pick set)
         rng = np.random.default_rng(seed)
-        b, d = 3, 128
+        b = 3
         boxes, classes, valid = _candidates(rng, b, d)
         corners = np.asarray(box_canvas_corners(boxes))
         shift = classes.astype(np.float32) * 4096.0
@@ -71,14 +74,14 @@ class TestDecodeScoresPallas:
         anchors = jnp.asarray(
             rng.uniform(0.2, 0.8, (A, 4)).astype(np.float32)
         )
-        # top_k=128: the pallas flag validates top_k % 128 == 0 at
-        # config construction (DetectionConfig.__post_init__)
-        base = DetectionConfig(top_k=128, confidence_threshold=0.05)
+        # top_k=200 (the reference default): the kernel lane-pads to 256
+        # internally, so the flag composes with the stock config
+        base = DetectionConfig(top_k=200, confidence_threshold=0.05)
         want = decode_scores(conf, cls, locs, anchors, base)
         got = decode_scores(
             conf, cls, locs, anchors,
             DetectionConfig(
-                top_k=128, confidence_threshold=0.05, use_pallas_nms=True
+                top_k=200, confidence_threshold=0.05, use_pallas_nms=True
             ),
         )
         np.testing.assert_array_equal(
