@@ -86,6 +86,11 @@ def main():
         "kernel (ops/stem_pallas.py) instead of the packed XLA stem",
     )
     parser.add_argument(
+        "--padded-heads", action="store_true",
+        help="inference: lane-align the classifier output groups "
+        "(ModelConfig.padded_heads) — same math, pads nv=25 -> 32",
+    )
+    parser.add_argument(
         "--bundle", default=None,
         help="benchmark this exported bundle (float or int8) instead of "
         "the default deploy configuration",
@@ -128,12 +133,17 @@ def main():
 
             params, config, _, act_scales = load_bundle(bundle_path)
             quantized = act_scales is not None
+            if args.padded_heads:
+                import dataclasses
+
+                config = dataclasses.replace(config, padded_heads=True)
         else:
             config = ModelConfig(
                 preset_name=args.preset,
                 num_classes=20,
                 compute_dtype=args.compute_dtype,
                 pallas_stem=args.pallas_stem,
+                padded_heads=args.padded_heads,
             )
             params = init_params(jax.random.PRNGKey(0), config)
             quantized = not args.float

@@ -45,10 +45,11 @@ def model_config_to_dict(cfg: ModelConfig) -> dict:
     """The single serialization of ModelConfig (checkpoint configs,
     bundles, QAT checkpoints all use this — add new fields HERE).
 
-    ``pallas_stem`` is deliberately NOT serialized: it selects an
-    execution backend for the same math (like jit vs interpret), not a
-    model property — a checkpoint must not pin its loader to a kernel
-    choice. Benchmarks/CLIs opt in per run."""
+    ``pallas_stem`` and ``padded_heads`` are deliberately NOT
+    serialized: they select an execution backend/layout for the same
+    math (like jit vs interpret), not a model property — a checkpoint
+    must not pin its loader to a kernel choice. Benchmarks/CLIs opt in
+    per run."""
     return {
         "preset_name": cfg.preset_name,
         "num_classes": cfg.num_classes,

@@ -236,14 +236,34 @@ def _forward_scores(qparams, act_scales, images, config: ModelConfig):
     the cells-minor reduction layout, so the full (B, A, K+1) softmax
     never materializes. Feed to ops/postprocess.decode_scores.
     """
-    from ssd_tensorflow_tpu.models.ssd_vgg import reduce_head_maps
+    from ssd_tensorflow_tpu.models.ssd_vgg import (
+        pad_head_channels,
+        reduce_head_maps,
+    )
 
     preset = config.preset
     maps = _feature_maps_q(qparams, act_scales, images, config)
+    nv, nvp = config.num_vars, config.num_vars_padded
 
     def head_conv(i, fmap):
         name = f"classifier{i}"
-        y = _qconv(qparams[name], fmap, act_scales[name], relu=False)
+        qp = qparams[name]
+        if nvp != nv:
+            # lane-aligned head groups (ssd_vgg.ModelConfig.padded_heads):
+            # zero int8 weights add exact int32 zeros, w_scale pads with
+            # 1 (never read — the pad outputs are sliced away)
+            ns = preset.maps[i].num_shapes
+            kh, kw, ci, _ = qp["wq"].shape
+            wq = jnp.pad(
+                qp["wq"].reshape(kh, kw, ci, ns, nv),
+                ((0, 0),) * 4 + ((0, nvp - nv),),
+            ).reshape(kh, kw, ci, ns * nvp)
+            qp = {
+                "wq": wq,
+                "w_scale": pad_head_channels(qp["w_scale"], ns, nv, nvp, 1),
+                "b": pad_head_channels(qp["b"], ns, nv, nvp),
+            }
+        y = _qconv(qp, fmap, act_scales[name], relu=False)
         return y.astype(jnp.float32)
 
     return reduce_head_maps(head_conv, maps, preset, config)

@@ -72,6 +72,18 @@ class ModelConfig:
     #: travels in the checkpoint config so float eval, calibration and
     #: the int8 deploy path all compute exactly what QAT trained.
     l2_norm_eps: float = 1e-12
+    #: pad each classifier's per-anchor output group from nv (= K+5,
+    #: 25 for VOC) to the next multiple of 32 with structured zero
+    #: channels on the scores inference path. The head conv's output
+    #: then reshapes into (cells, ns, 32)-groups that split on vector-
+    #: lane boundaries, so the cells-minor transpose in
+    #: reduce_head_maps is a lane-aligned permute instead of an
+    #: unaligned 25-minor gather; the pad channels are sliced away
+    #: after the transpose, where that axis is no longer minor.
+    #: Math-identical (zero weights, zero bias, outputs never read).
+    #: Scores path only — training and the reference-parity result
+    #: tensor keep the exact nv-wide heads.
+    padded_heads: bool = False
 
     def __post_init__(self):
         if self.pallas_stem and self.compute_dtype != "bfloat16":
@@ -89,6 +101,14 @@ class ModelConfig:
     def num_vars(self) -> int:
         """Per-anchor output width: K+1 classes + 4 offsets."""
         return self.num_classes + 5
+
+    @property
+    def num_vars_padded(self) -> int:
+        """Per-anchor head-conv group width on the scores path: num_vars
+        rounded up to a multiple of 32 when ``padded_heads`` is set."""
+        if not self.padded_heads:
+            return self.num_vars
+        return -(-self.num_vars // 32) * 32
 
 
 # Extra feature layers: (name, out_ch, kernel, stride, padding)
@@ -294,6 +314,34 @@ def apply_result(params, images, config: ModelConfig):
     return jnp.concatenate([jax.nn.softmax(logits, axis=-1), locs], axis=-1)
 
 
+def pad_head_vars(w, b, ns: int, nv: int, nvp: int):
+    """Zero-pad a classifier conv's per-anchor output groups nv -> nvp.
+
+    ``w`` is ``(kh, kw, ci, ns*nv)``, ``b`` ``(ns*nv,)`` — the padded
+    channels carry zero weights and zero bias, so the original channels'
+    sums are untouched and the pad outputs are never read (sliced away
+    in reduce_head_maps). Works for any per-channel trailing-dim array
+    via the same reshape, see pad_head_channels.
+    """
+    if nvp == nv:
+        return w, b
+    kh, kw, ci, _ = w.shape
+    w = jnp.pad(
+        w.reshape(kh, kw, ci, ns, nv),
+        ((0, 0), (0, 0), (0, 0), (0, 0), (0, nvp - nv)),
+    ).reshape(kh, kw, ci, ns * nvp)
+    return w, pad_head_channels(b, ns, nv, nvp)
+
+
+def pad_head_channels(v, ns: int, nv: int, nvp: int, fill=0):
+    """Pad a per-output-channel vector ``(ns*nv,)`` -> ``(ns*nvp,)``."""
+    if nvp == nv:
+        return v
+    return jnp.pad(
+        v.reshape(ns, nv), ((0, 0), (0, nvp - nv)), constant_values=fill
+    ).reshape(ns * nvp)
+
+
 def apply_scores(params, images, config: ModelConfig):
     """Throughput inference head: per-anchor ``(conf, cls, locs)``.
 
@@ -320,9 +368,12 @@ def apply_scores(params, images, config: ModelConfig):
     preset = config.preset
     maps = _feature_maps(params, images, config, inference=True)
 
+    nv, nvp = config.num_vars, config.num_vars_padded
+
     def head_conv(i, fmap):
         hp = params[f"classifier{i}"]
-        return conv2d(fmap, hp["w"], hp["b"], f32_out=True)
+        w, b = pad_head_vars(hp["w"], hp["b"], preset.maps[i].num_shapes, nv, nvp)
+        return conv2d(fmap, w, b, f32_out=True)
 
     return reduce_head_maps(head_conv, maps, preset, config)
 
@@ -335,15 +386,22 @@ def reduce_head_maps(head_conv, maps, preset, config: ModelConfig):
     source of truth for the scores-path math.
     """
     K = config.num_classes
-    nv = config.num_vars
     confs, clss, locss = [], [], []
     for i, (fmap, m) in enumerate(zip(maps, preset.maps)):
-        y = head_conv(i, fmap)  # (B, h, w, ns*nv)
-        b, h, w, _ = y.shape
-        # cells-minor: (B, ns, nv, hw) — reductions below run over the
-        # nv axis, which is no longer the lane dimension
-        y = y.reshape(b, h * w, m.num_shapes, nv)
-        y = jnp.transpose(y, (0, 2, 3, 1))  # (B, ns, nv, hw)
+        y = head_conv(i, fmap)  # (B, h, w, ns*nvp)
+        b, h, w, co = y.shape
+        # per-anchor group width as the conv produced it — num_vars, or
+        # the lane-aligned padded width when config.padded_heads is set
+        # (the pad channels fall off in the logits/locs slices below,
+        # on a non-minor axis after the transpose)
+        nvp = co // m.num_shapes
+        assert nvp * m.num_shapes == co and nvp >= config.num_vars, (
+            co, m.num_shapes, config.num_vars
+        )
+        # cells-minor: (B, ns, nvp, hw) — reductions below run over the
+        # nvp axis, which is no longer the lane dimension
+        y = y.reshape(b, h * w, m.num_shapes, nvp)
+        y = jnp.transpose(y, (0, 2, 3, 1))  # (B, ns, nvp, hw)
         logits = y[:, :, : K + 1, :]
         fg = logits[:, :, :K, :]
         cls_m = jnp.argmax(fg, axis=2).astype(jnp.int32)  # (B, ns, hw)
@@ -352,7 +410,7 @@ def reduce_head_maps(head_conv, maps, preset, config: ModelConfig):
             jnp.exp(logits.astype(jnp.float32) - mx[:, :, None, :]), axis=2
         )
         conf_m = jnp.exp(jnp.max(fg, axis=2).astype(jnp.float32) - mx) / se
-        locs_m = jnp.transpose(y[:, :, K + 1 :, :], (0, 1, 3, 2))
+        locs_m = jnp.transpose(y[:, :, K + 1 : K + 5, :], (0, 1, 3, 2))
         # (B, ns, hw) / (B, ns, hw, 4) are already in the heads-major
         # anchor-order contract
         confs.append(conf_m.reshape(b, -1))
