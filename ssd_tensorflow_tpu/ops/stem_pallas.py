@@ -196,7 +196,7 @@ def fused_stem_pallas_dma(params, images, mean_bgr, compute_dtype,
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 128), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, 128, 128), lambda b, t: (0, 0, 0, 0),

@@ -1,0 +1,63 @@
+#!/bin/bash
+# Post-training TPU window for the v512 miniVOC-1500 run.
+#
+# Waits for the training process (/tmp/v512.pid) to exit, lets the
+# exclusive tunnel session release (~2-3 min, see CLAUDE.md), then runs
+# the full deploy/accuracy/bench sequence back to back so the TPU window
+# is used end to end without manual babysitting:
+#   1. held-out test eval of the float checkpoint (mirrors runs/v300-test.log)
+#   2. int8 deploy bundle export, calibrated on 16 real train JPEGs
+#   3. held-out test eval of the exported int8 bundle (parity evidence)
+#   4. bench.py on the shipped bundle (driver default) + A/B variants:
+#      --padded-heads, --float, --float --padded-heads, --float --pallas-stem
+#   5. entry() single-chip compile check (driver contract)
+# Logs land in runs/post_v512/; the file DONE marks completion.
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+LOG=runs/post_v512
+mkdir -p "$LOG"
+
+PID=$(cat /tmp/v512.pid 2>/dev/null || echo 0)
+echo "$(date -u +%H:%M:%S) waiting for training pid $PID" > "$LOG/progress"
+while kill -0 "$PID" 2>/dev/null; do sleep 60; done
+echo "$(date -u +%H:%M:%S) training exited; waiting for session release" >> "$LOG/progress"
+sleep 180
+
+CKPT=runs/v512/final.ckpt.npz
+[ -f "$CKPT" ] || CKPT=$(ls runs/v512/e*.ckpt.npz | sort -V | tail -1)
+echo "$(date -u +%H:%M:%S) checkpoint: $CKPT" >> "$LOG/progress"
+
+run() { # name, then the command
+  name=$1; shift
+  echo "$(date -u +%H:%M:%S) start $name" >> "$LOG/progress"
+  timeout 2700 "$@" > "$LOG/$name.log" 2>&1
+  echo "$(date -u +%H:%M:%S) done  $name (exit $?)" >> "$LOG/progress"
+}
+
+run test_float python infer.py --name runs/v512 \
+  --training-data runs/minivoc1500_512/training-data.json \
+  --data-source pascal_voc --data-dir runs/minivoc1500_512 \
+  --sample test --compute-stats True --pascal-summary True \
+  --threshold 0.01 --batch-size 16 --output-dir runs/v512-test
+
+CALIB=$(ls runs/minivoc1500_512/trainval/VOCdevkit/*/JPEGImages/*.jpg 2>/dev/null | sort | head -16)
+run export_int8 python export_model.py --checkpoint-file "$CKPT" \
+  --output-file assets/vgg512_int8_minivoc.ssdtpu.npz --quantize \
+  --calibration-images $CALIB
+
+run test_int8 python infer.py --bundle assets/vgg512_int8_minivoc.ssdtpu.npz \
+  --training-data runs/minivoc1500_512/training-data.json \
+  --data-source pascal_voc --data-dir runs/minivoc1500_512 \
+  --sample test --compute-stats True --threshold 0.01 --batch-size 16 \
+  --output-dir runs/v512-test-int8
+
+run bench_int8 python bench.py
+run bench_int8_padded python bench.py --padded-heads
+run bench_float python bench.py --float
+run bench_float_padded python bench.py --float --padded-heads
+run bench_float_pallas_stem python bench.py --float --pallas-stem
+run entry python -c "import __graft_entry__, jax; fn, a = __graft_entry__.entry(); r = jax.jit(fn)(*a); jax.block_until_ready(r); print('entry ok')"
+
+echo "$(date -u +%H:%M:%S) all done" >> "$LOG/progress"
+touch "$LOG/DONE"
