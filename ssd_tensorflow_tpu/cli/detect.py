@@ -30,6 +30,16 @@ def build_parser():
     parser.add_argument("--output-dir", default="detect-output", help="output directory")
     parser.add_argument("--batch-size", type=int, default=32, help="batch size")
     parser.add_argument("--threshold", type=float, default=0.5, help="confidence threshold")
+    parser.add_argument(
+        "--padded-heads", action="store_true",
+        help="lane-align the classifier head groups on TPU — same math, "
+        "often faster (ModelConfig.padded_heads)",
+    )
+    parser.add_argument(
+        "--pallas-stem", action="store_true",
+        help="run conv1_2+pool1 as the manual-DMA Pallas kernel "
+        "(bf16 float bundles only; ops/stem_pallas.py)",
+    )
     return parser
 
 
@@ -46,11 +56,17 @@ def main(argv=None):
     print("[i] Output dir: ", args.output_dir)
     print("[i] Batch size: ", args.batch_size)
 
+    overrides = {}
+    if args.padded_heads:
+        overrides["padded_heads"] = True
+    if args.pallas_stem:
+        overrides["pallas_stem"] = True
     model = InferenceModel.from_bundle(
         args.model,
         detection=DetectionConfig(
             top_k=200, confidence_threshold=args.threshold
         ),
+        overrides=overrides,
     )
 
     colors = {}

@@ -60,6 +60,11 @@ def build_parser():
     )
     parser.add_argument("--threshold", type=float, default=0.5, help="confidence threshold")
     parser.add_argument(
+        "--padded-heads", action="store_true",
+        help="lane-align the classifier head groups on TPU — same math, "
+        "often faster (ModelConfig.padded_heads)",
+    )
+    parser.add_argument(
         "--pascal-summary", type=str2bool, default="False",
         help="write Pascal eval-server submission files",
     )
@@ -105,10 +110,15 @@ def main(argv=None):
         return 1
 
     detection = DetectionConfig(top_k=200, confidence_threshold=args.threshold)
+    overrides = {"padded_heads": True} if args.padded_heads else {}
     if args.bundle:
-        model = InferenceModel.from_bundle(args.bundle, detection=detection)
+        model = InferenceModel.from_bundle(
+            args.bundle, detection=detection, overrides=overrides
+        )
     else:
-        model = InferenceModel.from_checkpoint(ckpt_path, detection=detection)
+        model = InferenceModel.from_checkpoint(
+            ckpt_path, detection=detection, overrides=overrides
+        )
 
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -132,10 +142,19 @@ def main(argv=None):
         # fixed-shape batches keep one compiled program: pad + trim
         padded = chunk + [chunk[-1]] * (args.batch_size - len(chunk))
         images, sizes = model.preprocess_files(padded)
-        result, dets = model.run(images)
-        from ssd_tensorflow_tpu.ops.postprocess import detections_to_boxes
+        if args.dump_predictions:
+            # raw (B, A, K+5) result tensor needed — the full-softmax path
+            result, dets = model.run(images)
+            from ssd_tensorflow_tpu.ops.postprocess import (
+                detections_to_boxes,
+            )
 
-        boxes_list = detections_to_boxes(dets, model.lid2name)
+            boxes_list = detections_to_boxes(dets, model.lid2name)
+        else:
+            # throughput scores path (lazy softmax, cells-minor; honors
+            # --padded-heads) — decode parity with the result path is
+            # oracle-tested (tests/test_reference_parity.py)
+            boxes_list = model.detect_boxes(images)
 
         for i, fname in enumerate(chunk):
             boxes = boxes_list[i]

@@ -9,6 +9,7 @@ inference function, nothing else.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 from functools import partial
 
@@ -142,7 +143,12 @@ class InferenceModel:
 
     def __init__(self, params, model_cfg: ModelConfig, lid2name=None,
                  detection: DetectionConfig | None = None,
-                 act_scales: dict | None = None):
+                 act_scales: dict | None = None,
+                 overrides: dict | None = None):
+        if overrides:
+            # execution-backend fields only (padded_heads, pallas_stem,
+            # ...) — never serialized, opted into per run by CLIs/bench
+            model_cfg = dataclasses.replace(model_cfg, **overrides)
         self.params = jax.device_put(params)
         self.config = model_cfg
         self.preset = model_cfg.preset
