@@ -1,6 +1,6 @@
 # Convenience targets. Tests force the CPU backend internally.
 
-.PHONY: test test-all test-fast bench bench-int8 bench-train lint e2e
+.PHONY: test test-all test-fast bench bench-int8 bench-float bench-train lint e2e
 
 test:
 	python -m pytest tests/ -q
@@ -17,8 +17,11 @@ e2e:
 bench:
 	python bench.py
 
-bench-int8:
-	python bench.py --quantized
+bench-int8:  # int8 is the bench default; kept for muscle memory
+	python bench.py
+
+bench-float:
+	python bench.py --float
 
 bench-train:
 	python bench.py --mode train --batch-size 32

@@ -113,12 +113,15 @@ def main():
         DetectionConfig,
         decode_scores,
     )
-    from ssd_tensorflow_tpu.presets import get_preset_by_name
-
     det_cfg = DetectionConfig(top_k=200, confidence_threshold=0.01)
     rng = np.random.default_rng(0)
 
     if args.mode == "inference":
+        if args.pallas_stem and not args.float:
+            parser.error(
+                "--pallas-stem is a bf16 stem kernel: the default int8 "
+                "path has its own stem — pass --float with it"
+            )
         bundle_path = args.bundle
         if (
             bundle_path is None

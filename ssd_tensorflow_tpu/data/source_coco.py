@@ -119,8 +119,14 @@ class COCOSource:
             imgsize = Size(int(im["width"]), int(im["height"]))
             boxes = []
             for lid, (x, y, w, h) in per_image.get(im["id"], []):
-                xmin = max(0.0, x)
-                ymin = max(0.0, y)
+                # COCO bboxes are 0-based [x, y, w, h]; convert to the
+                # VOC 1-based inclusive-corner convention the whole
+                # pipeline is built around (abs2prop, the 1000-canvas
+                # +1px IoU — reference utils.py:85-97 semantics), so a
+                # COCO box yields exactly the numbers the same physical
+                # box would coming from a VOC XML.
+                xmin = max(1.0, x + 1.0)
+                ymin = max(1.0, y + 1.0)
                 xmax = min(float(imgsize.w), x + w)
                 ymax = min(float(imgsize.h), y + h)
                 if xmax <= xmin or ymax <= ymin:

@@ -238,6 +238,7 @@ def _forward_scores(qparams, act_scales, images, config: ModelConfig):
     """
     from ssd_tensorflow_tpu.models.ssd_vgg import (
         pad_head_channels,
+        pad_head_vars,
         reduce_head_maps,
     )
 
@@ -253,15 +254,11 @@ def _forward_scores(qparams, act_scales, images, config: ModelConfig):
             # zero int8 weights add exact int32 zeros, w_scale pads with
             # 1 (never read — the pad outputs are sliced away)
             ns = preset.maps[i].num_shapes
-            kh, kw, ci, _ = qp["wq"].shape
-            wq = jnp.pad(
-                qp["wq"].reshape(kh, kw, ci, ns, nv),
-                ((0, 0),) * 4 + ((0, nvp - nv),),
-            ).reshape(kh, kw, ci, ns * nvp)
+            wq, b = pad_head_vars(qp["wq"], qp["b"], ns, nv, nvp)
             qp = {
                 "wq": wq,
                 "w_scale": pad_head_channels(qp["w_scale"], ns, nv, nvp, 1),
-                "b": pad_head_channels(qp["b"], ns, nv, nvp),
+                "b": b,
             }
         y = _qconv(qp, fmap, act_scales[name], relu=False)
         return y.astype(jnp.float32)

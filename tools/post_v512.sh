@@ -18,9 +18,14 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 LOG=runs/post_v512
 mkdir -p "$LOG"
 
-PID=$(cat /tmp/v512.pid 2>/dev/null || echo 0)
-echo "$(date -u +%H:%M:%S) waiting for training pid $PID" > "$LOG/progress"
-while kill -0 "$PID" 2>/dev/null; do sleep 60; done
+PID=$(cat /tmp/v512.pid 2>/dev/null || echo "")
+echo "$(date -u +%H:%M:%S) waiting for training pid ${PID:-<none>}" > "$LOG/progress"
+# kill -0 "" fails and kill -0 0 signals our own group — only wait on a
+# real positive pid
+if [ -n "$PID" ] && [ "$PID" -gt 0 ] 2>/dev/null; then
+  while kill -0 "$PID" 2>/dev/null; do sleep 60; done
+fi
+mkdir -p assets
 echo "$(date -u +%H:%M:%S) training exited; waiting for session release" >> "$LOG/progress"
 sleep 180
 
