@@ -13,6 +13,7 @@ import argparse
 import math
 import multiprocessing as mp
 import os
+import signal
 import sys
 
 import numpy as np
@@ -429,7 +430,29 @@ def main(argv=None):
     # ------------------------------------------------------------------
     # Epoch loop (reference: train.py:243-343)
     # ------------------------------------------------------------------
+    # Graceful shutdown: SIGTERM/SIGUSR1 finish the current epoch, write
+    # final.ckpt.npz stamped with the reached epoch (resume picks it up,
+    # utils/checkpoint.py:87-100) and exit 0 — a preempted run loses
+    # nothing instead of up to checkpoint_interval epochs. The handler
+    # only sets a flag; the loop breaks at an epoch boundary where the
+    # data generators are exhausted and the train state is consistent.
+    stop_requested = []
+
+    def _request_stop(signum, frame):  # noqa: ARG001
+        stop_requested.append(signum)
+        print(
+            f"\n[!] Signal {signum}: will checkpoint and exit after "
+            "this epoch"
+        )
+
+    for sig in (signal.SIGTERM, signal.SIGUSR1):
+        try:
+            signal.signal(sig, _request_stop)
+        except ValueError:  # not the main thread (tests drive main())
+            break
+
     print("[i] Training...")
+    completed_epoch = start_epoch
     for e in range(start_epoch, args.epochs):
         training_imgs_samples = []
         validation_imgs_samples = []
@@ -615,7 +638,11 @@ def main(argv=None):
             path = ckpt_mgr.save(e + 1, state)
             print("[i] Checkpoint saved:", path)
 
-    ckpt_mgr.save(args.epochs, state, final=True)
+        completed_epoch = e + 1
+        if stop_requested:
+            break
+
+    ckpt_mgr.save(completed_epoch, state, final=True)
     ckpt_mgr.wait()
     print("[i] Checkpoint saved:", os.path.join(args.name, "final.ckpt.npz"))
     return 0

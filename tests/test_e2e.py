@@ -245,6 +245,77 @@ def test_train_with_device_augment(dataset, tmp_path):
 
 
 @pytest.mark.e2e
+def test_train_graceful_shutdown(dataset, tmp_path):
+    """SIGTERM/SIGUSR1 mid-run: the trainer finishes the current epoch,
+    writes final.ckpt.npz stamped with the reached epoch, and exits 0 —
+    a preempted run loses nothing (cli/train.py graceful-shutdown
+    handler)."""
+    import signal
+    import threading
+
+    root, data_dir, samples = dataset
+    name = str(tmp_path / "proj-sig")
+
+    # deliver the signal once the first epoch checkpoint lands; the loop
+    # must then stop at the next epoch boundary, far before epoch 40
+    first_ckpt = os.path.join(name, "e1.ckpt.npz")
+    stop_watcher = threading.Event()
+
+    def fire_when_training_started():
+        while not stop_watcher.wait(0.05):
+            if os.path.exists(first_ckpt):
+                os.kill(os.getpid(), signal.SIGUSR1)
+                return
+
+    watcher = threading.Thread(target=fire_when_training_started)
+    watcher.start()
+    from ssd_tensorflow_tpu.cli.train import main as train_main
+
+    try:
+        rc = train_main(
+            [
+                "--name", name,
+                "--data-dir", data_dir,
+                "--epochs", "40",
+                "--batch-size", "4",
+                "--tensorboard-dir", str(tmp_path / "tb-sig"),
+                "--checkpoint-interval", "1",
+                "--num-workers", "0",
+                "--compute-dtype", "float32",
+            ]
+        )
+    finally:
+        stop_watcher.set()
+        watcher.join()
+        signal.signal(signal.SIGUSR1, signal.SIG_DFL)
+    assert rc == 0
+
+    from ssd_tensorflow_tpu.utils.checkpoint import checkpoint_config
+
+    final = os.path.join(name, "final.ckpt.npz")
+    assert os.path.exists(final)
+    reached = checkpoint_config(final).get("epoch")
+    assert reached is not None and 1 <= reached < 40
+
+    # and --continue-training resumes from the interrupted epoch
+    rc = train_main(
+        [
+            "--name", name,
+            "--data-dir", data_dir,
+            "--epochs", str(reached + 1),
+            "--batch-size", "4",
+            "--tensorboard-dir", str(tmp_path / "tb-sig"),
+            "--checkpoint-interval", "5",
+            "--num-workers", "0",
+            "--compute-dtype", "float32",
+            "--continue-training", "yes",
+        ]
+    )
+    assert rc == 0
+    assert checkpoint_config(final).get("epoch") == reached + 1
+
+
+@pytest.mark.e2e
 @pytest.mark.slow
 def test_train_with_qat(dataset, tmp_path):
     """The train CLI with --qat: calibrates, then trains through the
