@@ -54,8 +54,7 @@ INFERENCE_BASELINE = 1000.0
 
 def _real_calibration_images(h, w, count=16):
     """Committed real JPEGs resized to the preset size (no noise)."""
-    import cv2
-    import numpy as np
+    from ssd_tensorflow_tpu.inference import load_calibration_images
 
     files = sorted(glob.glob(CALIB_GLOB))[:count]
     if not files:
@@ -63,10 +62,7 @@ def _real_calibration_images(h, w, count=16):
             f"no calibration JPEGs under {CALIB_GLOB}; refusing to "
             "noise-calibrate (see cli/export_model.py)"
         )
-    out = np.zeros((len(files), h, w, 3), dtype=np.uint8)
-    for i, f in enumerate(files):
-        out[i] = cv2.resize(cv2.imread(f), (w, h))
-    return out
+    return load_calibration_images(files, h, w)
 
 
 def main():
@@ -117,7 +113,7 @@ def main():
     rng = np.random.default_rng(0)
 
     if args.mode == "inference":
-        if args.pallas_stem and not args.float:
+        if args.pallas_stem and not args.float and args.bundle is None:
             parser.error(
                 "--pallas-stem is a bf16 stem kernel: the default int8 "
                 "path has its own stem — pass --float with it"
@@ -136,10 +132,24 @@ def main():
 
             params, config, _, act_scales = load_bundle(bundle_path)
             quantized = act_scales is not None
+            # the bundle determines the measured path: reject flag
+            # combinations it cannot honor rather than silently
+            # benchmarking something else
+            if quantized and args.float:
+                parser.error(f"{bundle_path} is int8-quantized; --float "
+                             "cannot measure a float path from it")
+            if quantized and args.pallas_stem:
+                parser.error(f"{bundle_path} is int8-quantized; "
+                             "--pallas-stem is a bf16 float-stem kernel")
+            overrides = {}
             if args.padded_heads:
+                overrides["padded_heads"] = True
+            if args.pallas_stem:
+                overrides["pallas_stem"] = True
+            if overrides:
                 import dataclasses
 
-                config = dataclasses.replace(config, padded_heads=True)
+                config = dataclasses.replace(config, **overrides)
         else:
             config = ModelConfig(
                 preset_name=args.preset,

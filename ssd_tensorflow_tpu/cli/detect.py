@@ -68,11 +68,8 @@ def main(argv=None):
         ),
         overrides=overrides,
     )
-    if args.pallas_stem and model.act_scales is not None:
-        print(
-            "[!] --pallas-stem is a bf16 stem kernel; this int8 bundle "
-            "runs its own quantized stem — flag has no effect"
-        )
+    # (incompatible --pallas-stem combinations are reported and dropped
+    # by InferenceModel itself)
 
     colors = {}
     if args.training_data:

@@ -94,14 +94,13 @@ def main(argv=None):
                 model_cfg.preset.image_size.h, model_cfg.preset.image_size.w
             )
             if args.calibration_images:
-                import cv2
-
-                calib = np.zeros(
-                    (len(args.calibration_images), h, w, 3), dtype=np.uint8
+                from ssd_tensorflow_tpu.inference import (
+                    load_calibration_images,
                 )
-                for i, f in enumerate(args.calibration_images):
-                    img = cv2.imread(f)
-                    calib[i] = cv2.resize(img, (w, h))
+
+                calib = load_calibration_images(
+                    args.calibration_images, h, w
+                )
             else:
                 if not args.allow_noise_calibration:
                     print(

@@ -138,6 +138,28 @@ def load_bundle(path: str):
     return params, model_cfg, lid2name, act_scales
 
 
+def load_calibration_images(files, h: int, w: int) -> np.ndarray:
+    """Decode + resize real calibration images to a uint8 (N,h,w,3) batch.
+
+    The single loader shared by ``export_model.py --quantize`` (the
+    shipped bundle) and ``bench.py`` (the on-the-spot quantized program),
+    so the two can never silently calibrate through different
+    preprocessing.
+    """
+    import cv2
+
+    files = list(files)
+    if not files:
+        raise ValueError("no calibration images given")
+    out = np.zeros((len(files), h, w, 3), dtype=np.uint8)
+    for i, f in enumerate(files):
+        img = cv2.imread(f)
+        if img is None:
+            raise ValueError(f"cannot read calibration image {f!r}")
+        out[i] = cv2.resize(img, (w, h))
+    return out
+
+
 class InferenceModel:
     """Jitted end-to-end detector: uint8 BGR batch -> detections."""
 
@@ -148,6 +170,23 @@ class InferenceModel:
         if overrides:
             # execution-backend fields only (padded_heads, pallas_stem,
             # ...) — never serialized, opted into per run by CLIs/bench
+            overrides = dict(overrides)
+            if overrides.get("pallas_stem") and (
+                act_scales is not None
+                or model_cfg.compute_dtype != "bfloat16"
+            ):
+                # the Pallas stem is a bf16 float-path kernel: int8
+                # bundles run their own quantized stem, f32 bundles the
+                # f32 XLA stem — dropping the flag beats crashing in
+                # ModelConfig.__post_init__ on a bundle the user may not
+                # know the dtype of
+                kind = ("int8" if act_scales is not None
+                        else model_cfg.compute_dtype)
+                print(
+                    f"[!] pallas_stem override ignored: this {kind} "
+                    "bundle does not run the bf16 float stem"
+                )
+                overrides.pop("pallas_stem")
             model_cfg = dataclasses.replace(model_cfg, **overrides)
         self.params = jax.device_put(params)
         self.config = model_cfg

@@ -86,18 +86,22 @@ def find_checkpoint(directory: str, epoch: int = -1):
             found[int(m.group(1))] = p
     final = os.path.join(directory, "final.ckpt.npz")
     if epoch == -1:
-        if found:
-            best = max(found)
-            return found[best], best
+        best = max(found) if found else None
         if os.path.exists(final):
-            # a completed run may have pruned/never written e{N} files;
-            # the epoch is stored in the checkpoint config so resume
-            # still works (VERDICT r1 item 10)
+            # final.ckpt.npz may be NEWER than the last interval file: a
+            # graceful shutdown (train.py SIGTERM handler) stamps the
+            # reached epoch only into final.ckpt.npz, and a completed run
+            # may have pruned/never written e{N} files at all. The epoch
+            # is stored in the checkpoint config, so pick whichever
+            # checkpoint is further along (VERDICT r1 item 10).
             try:
                 e = checkpoint_config(final).get("epoch")
             except Exception:
                 e = None
-            return final, e
+            if best is None or (e is not None and e > best):
+                return final, e
+        if best is not None:
+            return found[best], best
         return None, None
     if epoch in found:
         return found[epoch], epoch

@@ -143,3 +143,50 @@ class TestQATEpsContract:
         np.testing.assert_allclose(
             np.asarray(q_logits_softmax), np.asarray(ref), atol=0.08
         )
+
+
+class TestInferenceOverrideGuard:
+    """Backend overrides must degrade, not crash, on incompatible bundles.
+
+    detect.py/infer.py/bench.py pass --pallas-stem as an InferenceModel
+    override; the bundle's config may be int8 or float32, where the bf16
+    stem kernel cannot run — the override is dropped with a message
+    instead of tripping ModelConfig.__post_init__ (round-3 review)."""
+
+    def _make(self, compute_dtype, overrides, act_scales=None):
+        import jax
+
+        from ssd_tensorflow_tpu.inference import InferenceModel
+        from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, init_params
+
+        cfg = ModelConfig(
+            preset_name="test64", num_classes=2, compute_dtype=compute_dtype
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        return InferenceModel(
+            params, cfg, act_scales=act_scales, overrides=overrides
+        )
+
+    def test_pallas_stem_dropped_on_float32_bundle(self, capsys):
+        model = self._make("float32", {"pallas_stem": True})
+        assert model.config.pallas_stem is False
+        assert "pallas_stem override ignored" in capsys.readouterr().out
+
+    def test_pallas_stem_dropped_on_int8_bundle(self, capsys):
+        # act_scales marks a quantized bundle; construction must not
+        # raise even though the config is bf16-incompatible with the flag
+        model = self._make(
+            "float32", {"pallas_stem": True}, act_scales={"conv1_1": 1.0}
+        )
+        assert model.config.pallas_stem is False
+        assert "int8" in capsys.readouterr().out
+
+    def test_other_overrides_still_apply(self):
+        model = self._make(
+            "float32", {"pallas_stem": True, "padded_heads": True}
+        )
+        assert model.config.padded_heads is True
+
+    def test_pallas_stem_kept_on_bf16_bundle(self):
+        model = self._make("bfloat16", {"pallas_stem": True})
+        assert model.config.pallas_stem is True

@@ -82,6 +82,29 @@ class TestCheckpoint:
         assert path.endswith("final.ckpt.npz")
         assert epoch == 42
 
+    def test_final_newer_than_interval_files_wins(self, tmp_path):
+        """A graceful shutdown stamps the reached epoch only into
+        final.ckpt.npz; resume must prefer it over an older e{N} file
+        (with default --checkpoint-interval 5 the interval file can be
+        up to 4 epochs stale)."""
+        mgr = CheckpointManager(str(tmp_path), {"a": 1}, max_to_keep=2)
+        mgr.save(5, _tiny_state())
+        mgr.save(7, _tiny_state(), final=True)  # SIGTERM during epoch 8
+        mgr.wait()
+        path, epoch = find_checkpoint(str(tmp_path))
+        assert path.endswith("final.ckpt.npz")
+        assert epoch == 7
+
+    def test_interval_file_newer_than_final_wins(self, tmp_path):
+        # resumed-then-re-killed runs can leave a stale final.ckpt.npz
+        mgr = CheckpointManager(str(tmp_path), {"a": 1}, max_to_keep=2)
+        mgr.save(7, _tiny_state(), final=True)
+        mgr.save(10, _tiny_state())
+        mgr.wait()
+        path, epoch = find_checkpoint(str(tmp_path))
+        assert path.endswith("e10.ckpt.npz")
+        assert epoch == 10
+
     def test_lone_final_without_epoch_metadata(self, tmp_path):
         # pre-item-10 checkpoints carry no epoch; resume degrades cleanly
         save_checkpoint(str(tmp_path / "final.ckpt.npz"), _tiny_state())
