@@ -40,6 +40,12 @@ def build_parser():
         help="run conv1_2+pool1 as the manual-DMA Pallas kernel "
         "(bf16 float bundles only; ops/stem_pallas.py)",
     )
+    parser.add_argument(
+        "--data-parallel", type=int, default=0, metavar="N",
+        help="shard each batch over N devices (params replicated, batch "
+        "split on a 1-D data mesh); 0 = single device. Batch size must "
+        "be divisible by N",
+    )
     return parser
 
 
@@ -61,12 +67,23 @@ def main(argv=None):
         overrides["padded_heads"] = True
     if args.pallas_stem:
         overrides["pallas_stem"] = True
+    mesh = None
+    if args.data_parallel:
+        from ssd_tensorflow_tpu.parallel.mesh import make_mesh
+
+        if args.batch_size % args.data_parallel:
+            print(f"[!] --batch-size {args.batch_size} not divisible by "
+                  f"--data-parallel {args.data_parallel}")
+            return 1
+        mesh = make_mesh(data=args.data_parallel)
+        print(f"[i] Data-parallel mesh: {args.data_parallel} devices")
     model = InferenceModel.from_bundle(
         args.model,
         detection=DetectionConfig(
             top_k=200, confidence_threshold=args.threshold
         ),
         overrides=overrides,
+        mesh=mesh,
     )
     # (incompatible --pallas-stem combinations are reported and dropped
     # by InferenceModel itself)

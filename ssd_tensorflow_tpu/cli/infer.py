@@ -65,6 +65,12 @@ def build_parser():
         "often faster (ModelConfig.padded_heads)",
     )
     parser.add_argument(
+        "--data-parallel", type=int, default=0, metavar="N",
+        help="shard each batch over N devices (params replicated, batch "
+        "split on a 1-D data mesh); 0 = single device. Batch size must "
+        "be divisible by N",
+    )
+    parser.add_argument(
         "--pascal-summary", type=str2bool, default="False",
         help="write Pascal eval-server submission files",
     )
@@ -111,13 +117,23 @@ def main(argv=None):
 
     detection = DetectionConfig(top_k=200, confidence_threshold=args.threshold)
     overrides = {"padded_heads": True} if args.padded_heads else {}
+    mesh = None
+    if args.data_parallel:
+        from ssd_tensorflow_tpu.parallel.mesh import make_mesh
+
+        if args.batch_size % args.data_parallel:
+            print(f"[!] --batch-size {args.batch_size} not divisible by "
+                  f"--data-parallel {args.data_parallel}")
+            return 1
+        mesh = make_mesh(data=args.data_parallel)
+        print(f"[i] Data-parallel mesh:    {args.data_parallel} devices")
     if args.bundle:
         model = InferenceModel.from_bundle(
-            args.bundle, detection=detection, overrides=overrides
+            args.bundle, detection=detection, overrides=overrides, mesh=mesh
         )
     else:
         model = InferenceModel.from_checkpoint(
-            ckpt_path, detection=detection, overrides=overrides
+            ckpt_path, detection=detection, overrides=overrides, mesh=mesh
         )
 
     os.makedirs(args.output_dir, exist_ok=True)

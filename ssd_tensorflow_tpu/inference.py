@@ -166,7 +166,8 @@ class InferenceModel:
     def __init__(self, params, model_cfg: ModelConfig, lid2name=None,
                  detection: DetectionConfig | None = None,
                  act_scales: dict | None = None,
-                 overrides: dict | None = None):
+                 overrides: dict | None = None,
+                 mesh=None):
         if overrides:
             # execution-backend fields only (padded_heads, pallas_stem,
             # ...) — never serialized, opted into per run by CLIs/bench
@@ -188,7 +189,26 @@ class InferenceModel:
                 )
                 overrides.pop("pallas_stem")
             model_cfg = dataclasses.replace(model_cfg, **overrides)
-        self.params = jax.device_put(params)
+        # Data-parallel serving: with a mesh, params are replicated on
+        # every device and each batch shards its leading dim over the
+        # 'data' axis — the whole fused program (preprocess + forward +
+        # decode + NMS) is per-image, so XLA partitions it with zero
+        # cross-device collectives and throughput scales linearly over
+        # ICI-connected chips. Single-device behavior is unchanged when
+        # mesh is None.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            self.params = jax.device_put(
+                params,
+                jax.tree_util.tree_map(
+                    lambda _: NamedSharding(mesh, PartitionSpec()), params
+                ),
+            )
+        else:
+            self.params = jax.device_put(params)
         self.config = model_cfg
         self.preset = model_cfg.preset
         self.lid2name = lid2name or {}
@@ -265,17 +285,31 @@ class InferenceModel:
             out[i] = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
         return out, sizes
 
+    def _to_device(self, images):
+        """Stage a uint8 batch; under a mesh, shard it over 'data'."""
+        x = jnp.asarray(images)
+        if self.mesh is not None:
+            b, d = x.shape[0], self.mesh.shape["data"]
+            if b % d:
+                raise ValueError(
+                    f"batch {b} not divisible by the data-parallel mesh "
+                    f"size {d} — pad the batch (fixed shapes keep one "
+                    "compiled program anyway, see cli/infer.py)"
+                )
+            x = jax.device_put(x, self._batch_sharding)
+        return x
+
     def run(self, images: np.ndarray):
         """Run the fused forward+decode. ``images``: (B,H,W,3) uint8 BGR.
 
         Returns (raw result array (B,A,K+5), Detections).
         """
-        result, dets = self._run(self.params, jnp.asarray(images))
+        result, dets = self._run(self.params, self._to_device(images))
         return result, dets
 
     def detect_boxes(self, images: np.ndarray):
         """Detections as host lists of (conf, Box) with label names.
 
         Runs the throughput scores path (no raw result tensor)."""
-        dets = self._run_scores(self.params, jnp.asarray(images))
+        dets = self._run_scores(self.params, self._to_device(images))
         return detections_to_boxes(dets, self.lid2name)

@@ -1,0 +1,79 @@
+"""Data-parallel (sharded) inference: mesh run == single-device run.
+
+InferenceModel(mesh=...) replicates params and shards each batch's
+leading dim over the mesh's 'data' axis. The fused program (preprocess
++ forward + decode + NMS) is per-image, so XLA partitions it without
+collectives and every detection must match the unsharded run exactly.
+Runs on the conftest-forced 8-virtual-CPU-device backend — the standard
+fake multi-chip backend (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ssd_tensorflow_tpu.inference import InferenceModel
+from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, init_params
+from ssd_tensorflow_tpu.ops.postprocess import DetectionConfig
+from ssd_tensorflow_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(
+        preset_name="test64", num_classes=3, compute_dtype="float32"
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    images = rng.integers(0, 255, (8, 64, 64, 3), dtype=np.uint8)
+    detection = DetectionConfig(top_k=16, confidence_threshold=0.01)
+    return cfg, params, images, detection
+
+
+class TestShardedInference:
+    def test_detections_match_single_device(self, setup):
+        cfg, params, images, detection = setup
+        base = InferenceModel(params, cfg, detection=detection)
+        mesh = make_mesh(data=4, devices=jax.devices()[:4])
+        sharded = InferenceModel(params, cfg, detection=detection, mesh=mesh)
+
+        ref = base.run(images)[1]
+        got = sharded.run(images)[1]
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
+    def test_scores_path_matches_single_device(self, setup):
+        cfg, params, images, detection = setup
+        base = InferenceModel(params, cfg, detection=detection)
+        mesh = make_mesh(data=4, devices=jax.devices()[:4])
+        sharded = InferenceModel(params, cfg, detection=detection, mesh=mesh)
+
+        ref = base.detect_boxes(images)
+        got = sharded.detect_boxes(images)
+        assert len(ref) == len(got) == 8
+        for rb, gb in zip(ref, got):
+            assert len(rb) == len(gb)
+            for (rc, rbox), (gc, gbox) in zip(rb, gb):
+                assert abs(rc - gc) < 1e-5
+                assert rbox.labelid == gbox.labelid
+
+    def test_batch_actually_sharded(self, setup):
+        cfg, params, images, detection = setup
+        mesh = make_mesh(data=4, devices=jax.devices()[:4])
+        model = InferenceModel(params, cfg, detection=detection, mesh=mesh)
+        x = model._to_device(images)
+        assert len(x.sharding.device_set) == 4
+        # leading dim split 4 ways: each shard holds 2 of the 8 images
+        assert x.addressable_shards[0].data.shape[0] == 2
+
+    def test_indivisible_batch_rejected(self, setup):
+        cfg, params, images, detection = setup
+        mesh = make_mesh(data=4, devices=jax.devices()[:4])
+        model = InferenceModel(params, cfg, detection=detection, mesh=mesh)
+        with pytest.raises(ValueError, match="not divisible"):
+            model.run(images[:6])
