@@ -8,6 +8,8 @@ Runs on the conftest-forced 8-virtual-CPU-device backend — the standard
 fake multi-chip backend (SURVEY.md §4).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -77,3 +79,42 @@ class TestShardedInference:
         model = InferenceModel(params, cfg, detection=detection, mesh=mesh)
         with pytest.raises(ValueError, match="not divisible"):
             model.run(images[:6])
+
+
+class TestDetectCLIDataParallel:
+    def test_detect_runs_sharded(self, setup, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        cfg, params, images, _ = setup
+        from ssd_tensorflow_tpu.cli.detect import main as detect_main
+        from ssd_tensorflow_tpu.inference import save_bundle
+
+        bundle = str(tmp_path / "m.ssdtpu.npz")
+        save_bundle(bundle, params, cfg, {0: "a", 1: "b", 2: "c"})
+        f = str(tmp_path / "in.jpg")
+        cv2.imwrite(f, images[0])
+
+        rc = detect_main(
+            [
+                f,
+                "--model", bundle,
+                "--output-dir", str(tmp_path / "out"),
+                "--batch-size", "2",
+                "--threshold", "0.01",
+                "--data-parallel", "2",
+            ]
+        )
+        assert rc == 0
+        assert os.path.exists(tmp_path / "out" / "in.jpg.txt")
+
+    def test_detect_rejects_indivisible_batch(self, setup, tmp_path):
+        cfg, params, images, _ = setup
+        from ssd_tensorflow_tpu.cli.detect import main as detect_main
+
+        rc = detect_main(
+            [
+                "whatever.jpg",
+                "--batch-size", "3",
+                "--data-parallel", "2",
+            ]
+        )
+        assert rc == 1
