@@ -81,6 +81,39 @@ class TestShardedInference:
             model.run(images[:6])
 
 
+@pytest.mark.slow
+class TestShardedInt8Inference:
+    def test_int8_detections_match_single_device(self, setup):
+        """The deploy (int8 W8A8) program partitions over the mesh too —
+        int8 matmuls are per-image, so shards must agree exactly."""
+        cfg, params, images, detection = setup
+        from ssd_tensorflow_tpu.models.quantized import (
+            calibrate_activation_scales,
+            quantize_weights,
+        )
+
+        act_scales = calibrate_activation_scales(
+            params, images[:2], cfg, percentile=99.9
+        )
+        qparams = quantize_weights(params)
+        base = InferenceModel(
+            qparams, cfg, detection=detection, act_scales=act_scales
+        )
+        mesh = make_mesh(data=4, devices=jax.devices()[:4])
+        sharded = InferenceModel(
+            qparams, cfg, detection=detection, act_scales=act_scales,
+            mesh=mesh,
+        )
+        ref = base.run(images)[1]
+        got = sharded.run(images)[1]
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
+
 class TestDetectCLIDataParallel:
     def test_detect_runs_sharded(self, setup, tmp_path):
         cv2 = pytest.importorskip("cv2")
