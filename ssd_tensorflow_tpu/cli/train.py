@@ -61,6 +61,15 @@ def build_parser():
         help="directory holding vgg16.npz pretrained weights (optional)",
     )
     parser.add_argument("--epochs", type=int, default=200, help="number of epochs")
+    parser.add_argument(
+        "--epochs-per-run", type=int, default=0,
+        help="stop (with a resumable final checkpoint, exit 0) after this "
+        "many epochs in this process; 0 = no per-process cap. For "
+        "restart-resume training loops on hosts where the runtime leaks "
+        "per-step host memory (e.g. remote-TPU tunnel clients that "
+        "retain every H2D transfer, tools/leak_probe.py) — rerun with "
+        "--continue-training until --epochs is reached",
+    )
     parser.add_argument("--batch-size", type=int, default=8, help="batch size")
     parser.add_argument(
         "--tensorboard-dir", default="tb", help="tensorboard data directory"
@@ -640,6 +649,17 @@ def main(argv=None):
 
         completed_epoch = e + 1
         if stop_requested:
+            break
+        if (
+            args.epochs_per_run
+            and completed_epoch - start_epoch >= args.epochs_per_run
+        ):
+            print(
+                f"[i] Per-process epoch budget reached "
+                f"({args.epochs_per_run}); writing a resumable checkpoint "
+                f"at epoch {completed_epoch} (restart with "
+                "--continue-training)"
+            )
             break
 
     ckpt_mgr.save(completed_epoch, state, final=True)

@@ -316,6 +316,39 @@ def test_train_graceful_shutdown(dataset, tmp_path):
 
 
 @pytest.mark.e2e
+def test_train_epochs_per_run(dataset, tmp_path):
+    """--epochs-per-run caps one process's epochs with a resumable final
+    checkpoint — the restart-resume loop for leaky-runtime hosts
+    (tools/leak_probe.py)."""
+    root, data_dir, samples = dataset
+    name = str(tmp_path / "proj-seg")
+    from ssd_tensorflow_tpu.cli.train import main as train_main
+    from ssd_tensorflow_tpu.utils.checkpoint import checkpoint_config
+
+    common = [
+        "--name", name,
+        "--data-dir", data_dir,
+        "--epochs", "3",
+        "--batch-size", "4",
+        "--tensorboard-dir", str(tmp_path / "tb-seg"),
+        "--checkpoint-interval", "10",
+        "--num-workers", "0",
+        "--compute-dtype", "float32",
+    ]
+    rc = train_main(common + ["--epochs-per-run", "2"])
+    assert rc == 0
+    final = os.path.join(name, "final.ckpt.npz")
+    assert checkpoint_config(final).get("epoch") == 2
+
+    # second run of the loop finishes the job
+    rc = train_main(
+        common + ["--epochs-per-run", "2", "--continue-training", "yes"]
+    )
+    assert rc == 0
+    assert checkpoint_config(final).get("epoch") == 3
+
+
+@pytest.mark.e2e
 @pytest.mark.slow
 def test_train_with_qat(dataset, tmp_path):
     """The train CLI with --qat: calibrates, then trains through the
