@@ -203,6 +203,13 @@ def main():
                 return acc + one_step(p, x + (acc * 0).astype(x.dtype))
             return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
 
+        # stage the weights ON DEVICE before timing: load_bundle returns
+        # numpy arrays, and a numpy pytree passed to jit is re-uploaded
+        # on every call — over the tunnel that silently halved the
+        # measured bundle throughput (507 vs 1091 img/s) while the
+        # program itself was identical
+        params = jax.device_put(params)
+        jax.block_until_ready(params)
         fn = jax.jit(chained)
         float(fn(params, images))  # compile + warm
         best = float("inf")

@@ -56,7 +56,18 @@ def quantize_weights(params) -> Dict:
 
 
 def _qconv(qp, x, act_scale, stride=1, padding="SAME", dilation=1, relu=True):
-    """Quantize x with the static act_scale, int8 conv, requantize out."""
+    """Quantize x with the static act_scale, int8 conv, requantize out.
+
+    The int8 x int8 conv accumulates to **float32**, not int32: on the
+    current v5e runtime (libtpu Nov-2025) the i32-accumulation conv
+    lowers to a ~164 TOP/s path while f32/bf16 output runs at ~259
+    TOP/s (measured, docs/PERFORMANCE.md "int8 accumulation dtype") —
+    and the very next op dequantizes to f32 anyway. Numerics: the MXU
+    accumulates in f32; integer dot products are exact below 2^24 and
+    real activation sums sit orders of magnitude under the worst case,
+    so the quantization error itself dominates (int8-vs-float mAP
+    parity is verified end-to-end on the miniVOC test set).
+    """
     inv = 1.0 / act_scale
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(
         jnp.int8
@@ -68,9 +79,9 @@ def _qconv(qp, x, act_scale, stride=1, padding="SAME", dilation=1, relu=True):
         padding,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.int32,
+        preferred_element_type=jnp.float32,
     )
-    y = y.astype(jnp.float32) * (act_scale * qp["w_scale"]) + qp["b"]
+    y = y * (act_scale * qp["w_scale"]) + qp["b"]
     if relu:
         y = jax.nn.relu(y)
     return y.astype(jnp.bfloat16)
@@ -81,7 +92,7 @@ _POOL_AFTER = {"conv1_2", "conv2_2", "conv3_3", "conv4_3"}
 #: Width-packed int8 stem: measured a ~1% LOSS on v5e (vgg512 b64:
 #: 1039 vs 1050 img/s, best-of-4 chained) — unlike bf16, the int8 conv
 #: path is not lane-starved at 64 channels, so doubling nominal FLOPs
-#: for full lanes nets out negative. Kept as a bit-exact alternative
+#: for full lanes nets out negative. Kept as an equivalent alternative
 #: (tests/test_quantized.py::TestPackedInt8Stem); flip to re-measure on
 #: other TPU generations.
 INT8_PACKED_STEM = False
@@ -90,10 +101,10 @@ INT8_PACKED_STEM = False
 def _pack_qconv3x3(qp):
     """Width-pack an int8-quantized 3x3 conv (models/packed_conv.py).
 
-    The packed int8 conv computes the SAME integer sums as the unpacked
-    one (structured zero weights add exact int32 zeros), so the packed
-    stem is bit-exact with the unpacked int8 stem — unlike the float
-    packed stem, which only matches up to summation order.
+    The packed int8 conv computes the SAME sums as the unpacked one
+    (structured zero weights contribute exact zeros), so the packed
+    stem matches the unpacked int8 stem up to f32 summation order
+    (accumulation is f32 — see _qconv).
     """
     w = qp["wq"]
     kh, kw, ci, co = w.shape
@@ -132,7 +143,9 @@ def _stem_q_packed(qparams, act_scales, images, config: ModelConfig):
 
     The 64-channel stem convs waste half the TPU's 128 vector lanes
     unpacked; packing width pairs into channels (packed_conv.py) fills
-    them. Bit-exact with the unpacked int8 stem (int32 accumulation).
+    them. Matches the unpacked int8 stem up to f32 summation order (the
+    structured pad weights are exact zeros; accumulation is f32 like
+    _qconv — see the accumulation-dtype note there).
     """
     from ssd_tensorflow_tpu.models.packed_conv import preprocess_flat
 
@@ -144,11 +157,9 @@ def _stem_q_packed(qparams, act_scales, images, config: ModelConfig):
         y = lax.conv_general_dilated(
             xq, qp["wq"], (1, 1), "SAME",
             dimension_numbers=_DIMNUMS,
-            preferred_element_type=jnp.int32,
+            preferred_element_type=jnp.float32,
         )
-        y = y.astype(jnp.float32) * (
-            act_scales[name] * qp["w_scale"]
-        ) + qp["b"]
+        y = y * (act_scales[name] * qp["w_scale"]) + qp["b"]
         return jax.nn.relu(y)
 
     y = qconv_packed("conv1_1", xq).astype(jnp.bfloat16)

@@ -173,10 +173,12 @@ class TestQuantizedScoresPath:
 
 
 class TestPackedInt8Stem:
-    def test_packed_stem_bit_exact(self, rng):
-        """The width-packed int8 stem computes the SAME int32 sums as
-        the unpacked one (structured zeros), so the whole quantized
-        forward must be exactly equal under either flag."""
+    def test_packed_stem_matches_unpacked(self, rng):
+        """The width-packed int8 stem computes the SAME sums as the
+        unpacked one (structured zero weights). With f32 accumulation
+        (the fast path on the current v5e runtime — see _qconv) the
+        only permitted difference is f32 summation order, so the whole
+        quantized forward must agree to float tolerance."""
         import dataclasses
 
         import jax
@@ -210,6 +212,7 @@ class TestPackedInt8Stem:
             )(qm.qparams, images)
         finally:
             q.INT8_PACKED_STEM = prev
-        np.testing.assert_array_equal(
-            np.asarray(out_packed), np.asarray(out_unpacked)
+        np.testing.assert_allclose(
+            np.asarray(out_packed), np.asarray(out_unpacked),
+            rtol=1e-5, atol=1e-5,
         )
