@@ -58,10 +58,13 @@ run test_int8 python infer.py --bundle assets/vgg512_int8_minivoc.ssdtpu.npz \
   --output-dir runs/v512-test-int8
 
 run bench_int8 python bench.py
+run bench_int8_b128 python bench.py --batch-size 128
 run bench_int8_padded python bench.py --padded-heads
 run bench_float python bench.py --float
 run bench_float_padded python bench.py --float --padded-heads
 run bench_float_pallas_stem python bench.py --float --pallas-stem
+run bench_vgg300_int8 python bench.py --preset vgg300
+run bench_vgg300_float python bench.py --preset vgg300 --float
 run entry python -c "import __graft_entry__, jax; fn, a = __graft_entry__.entry(); r = jax.jit(fn)(*a); jax.block_until_ready(r); print('entry ok')"
 
 echo "$(date -u +%H:%M:%S) all done" >> "$LOG/progress"
