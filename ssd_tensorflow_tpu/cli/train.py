@@ -434,6 +434,28 @@ def main(argv=None):
     n_train_batches = td.num_train_batches(local_batch_size)
     n_valid_batches = td.num_valid_batches(local_batch_size)
 
+    # Remote-tunnel backends retain every H2D transfer in host memory
+    # (docs/ENVIRONMENT.md, tools/leak_probe.py): a long run accumulates
+    # ~one staged batch per step until the OOM killer ends it. Estimate
+    # the exposure and point at --epochs-per-run before it happens.
+    if not args.epochs_per_run and jax.default_backend() == "tpu":
+        h_img, w_img = model_cfg.preset.image_size.h, model_cfg.preset.image_size.w
+        batch_bytes = local_batch_size * h_img * w_img * 3
+        leak = (args.epochs - start_epoch) * n_train_batches * batch_bytes
+        try:
+            ram = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        except (ValueError, OSError):
+            ram = 0
+        if ram and leak > ram // 2:
+            print(
+                f"[!] This run stages ~{leak / 2**30:.0f} GiB of batches; "
+                "remote-TPU tunnel clients retain every transfer "
+                "(docs/ENVIRONMENT.md) and this host has "
+                f"{ram / 2**30:.0f} GiB. Consider --epochs-per-run "
+                "with a restart-resume loop "
+                "(tools/train_v512_segmented.sh)."
+            )
+
     profiled = False
 
     # ------------------------------------------------------------------
