@@ -29,6 +29,11 @@ def time_chained(run, params, images, iters: int = 10, repeats: int = 2):
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
+    # stage weights on device BEFORE timing: a numpy pytree passed to a
+    # jitted fn is re-uploaded every call, which taxes every timed call
+    # by the full H2D transfer (bench.py postmortem, docs/PERFORMANCE.md)
+    params = jax.device_put(params)
+    jax.block_until_ready(params)
     fn = jax.jit(chained)
     float(fn(params, images))  # compile + warm
     best = float("inf")
