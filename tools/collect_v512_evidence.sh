@@ -24,8 +24,11 @@ cp runs/post_v512/progress "$OUT/progress"
 {
   echo "== float test eval (runs/v512-test)"
   grep -E "mAP|AP " "$OUT/test_float.log" | tail -25
-  echo "== int8 bundle test eval (runs/v512-test-int8)"
+  echo "== int8 bundle test eval, pct 99.9 / 16 imgs (runs/v512-test-int8)"
   grep -E "mAP|AP " "$OUT/test_int8.log" | tail -25
+  echo "== int8 bundle test eval, pct 100 / 64 imgs (runs/v512-test-int8-p100)"
+  grep -E "mAP|AP " "$OUT/test_int8_p100.log" | tail -25
+  grep "shipping" "$OUT/progress"
   echo "== bench JSON lines"
   grep -h '"metric"' "$OUT"/bench_*.log
 } > "$OUT/SUMMARY.txt" || true

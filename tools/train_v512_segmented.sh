@@ -16,7 +16,12 @@ set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 
-TARGET=300
+# 240, not 300: the LR schedule never decays inside this run (boundaries
+# 320k/400k steps ~ epoch 3400 at 93 steps/epoch), valid mAP has been in
+# its 0.81-0.85 plateau band since ~e150, and the post-training window
+# (int8 parity A/B, optional QAT finetune, full test suite) needs the
+# TPU time more than 60 extra constant-LR epochs do.
+TARGET=240
 SEGMENT=60
 LOG=runs/v512.log
 
