@@ -36,9 +36,10 @@ def build_parser():
         help="images used to calibrate int8 activation scales",
     )
     parser.add_argument(
-        "--calibration-percentile", type=float, default=99.9,
-        help="activation amplitude percentile for int8 scales "
-        "(100 = max-abs)",
+        "--calibration-percentile", type=float, default=100.0,
+        help="activation amplitude percentile for int8 scales; the "
+        "default 100 (max-abs) is measured best — value percentiles "
+        "clip sparse post-ReLU maps (models/quantized.py docstring)",
     )
     parser.add_argument(
         "--allow-noise-calibration", action="store_true",

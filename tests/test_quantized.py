@@ -53,9 +53,8 @@ class TestQuantizeWeights:
 class TestQuantizedForward:
     def test_close_to_float_model(self, setup):
         cfg, params, images = setup
-        # max-abs calibration: the single random calibration image has
-        # too few activations for the 99.9-percentile default to be
-        # meaningful (it clips the top handful of values)
+        # max-abs calibration (the default since the vgg512 parity
+        # finding — see models/quantized.calibrate_activation_scales)
         qm = QuantizedModel(params, cfg, images, percentile=100)
         got = np.asarray(qm.result(jnp.asarray(images)))
         want = np.asarray(apply_result(params, jnp.asarray(images), cfg))

@@ -56,7 +56,7 @@ CALIB=$(ls runs/minivoc1500_512/trainval/VOCdevkit/*/JPEGImages/*.jpg 2>/dev/nul
 CALIB64=$(ls runs/minivoc1500_512/trainval/VOCdevkit/*/JPEGImages/*.jpg 2>/dev/null | sort | head -64)
 run export_int8 python export_model.py --checkpoint-file "$CKPT" \
   --output-file runs/v512_int8_p999.npz --quantize \
-  --calibration-images $CALIB
+  --calibration-percentile 99.9 --calibration-images $CALIB
 
 run test_int8 python infer.py --bundle runs/v512_int8_p999.npz \
   --training-data runs/minivoc1500_512/training-data.json \
