@@ -8,6 +8,7 @@ and writes Pascal eval-server submission files.
 from __future__ import annotations
 
 import argparse
+import json
 import math
 import os
 import sys
@@ -93,6 +94,19 @@ def main(argv=None):
             print("[!] No checkpoints found in", args.name)
             return 1
         print("[i] Checkpoint:", ckpt_path)
+
+    # label colors/names from the training-data artifact — the fallback
+    # when no --data-source is given (reference: infer.py:131-142 always
+    # reads them from training-data.pkl)
+    td_colors = {}
+    if args.training_data and os.path.exists(args.training_data):
+        try:
+            with open(args.training_data) as f:
+                td = json.load(f)
+            td_colors = {k: tuple(v) for k, v in td.get("colors", {}).items()}
+            print("[i] Label colors loaded from", args.training_data)
+        except (OSError, ValueError) as e:
+            print(f"[!] Could not read {args.training_data}: {e}")
 
     # dataset-provided files + ground truth
     source = None
@@ -181,8 +195,9 @@ def main(argv=None):
                 from ssd_tensorflow_tpu.utils.summaries import draw_box
 
                 img = cv2.imread(fname)
-                # colors from the source when available
-                colors = getattr(source, "colors", {})
+                # colors from the source when available, else from the
+                # training-data artifact
+                colors = getattr(source, "colors", None) or td_colors
                 for conf, box in boxes:
                     draw_box(img, box, colors.get(box.label, (0, 255, 0)))
                 cv2.imwrite(os.path.join(args.output_dir, base), img)

@@ -78,6 +78,14 @@ def build_parser():
         "--checkpoint-interval", type=int, default=5, help="checkpoint interval"
     )
     parser.add_argument(
+        "--checkpoint-backend", default="npz", choices=["npz", "orbax"],
+        help="npz: single-file e{N}.ckpt.npz archives (default; what "
+        "infer/export consume). orbax: async orbax.checkpoint directory "
+        "layout (utils/checkpoint_orbax.py) — the final checkpoint is "
+        "additionally written as final.ckpt.npz so the deploy chain "
+        "keeps working",
+    )
+    parser.add_argument(
         "--lr-values", type=str, default="0.00075;0.0001;0.00001",
         help="learning rate values",
     )
@@ -180,8 +188,21 @@ def main(argv=None):
     # ------------------------------------------------------------------
     start_epoch = 0
     checkpoint_file = None
+    orbax_mgr = None
+    if args.checkpoint_backend == "orbax":
+        from ssd_tensorflow_tpu.utils.checkpoint_orbax import (
+            OrbaxCheckpointManager,
+        )
     if args.continue_training:
-        checkpoint_file, last_epoch = find_checkpoint(args.name)
+        if args.checkpoint_backend == "orbax":
+            orbax_mgr = OrbaxCheckpointManager(args.name, max_to_keep=20)
+            last_epoch = orbax_mgr.latest_epoch()
+            checkpoint_file = (
+                None if last_epoch is None
+                else os.path.join(args.name, str(last_epoch))
+            )
+        else:
+            checkpoint_file, last_epoch = find_checkpoint(args.name)
         if checkpoint_file is None or last_epoch is None:
             print("[!] No network state found in " + args.name)
             return 1
@@ -302,7 +323,10 @@ def main(argv=None):
     state = make_train_state(params, train_cfg)
     if checkpoint_file is not None:
         print("[i] Restoring checkpoint", checkpoint_file)
-        state = restore_checkpoint(checkpoint_file, state)
+        if orbax_mgr is not None:
+            state = orbax_mgr.restore(state, start_epoch)
+        else:
+            state = restore_checkpoint(checkpoint_file, state)
 
     if args.data_parallel:
         data_size = args.data_parallel
@@ -333,13 +357,20 @@ def main(argv=None):
 
         saved_scales = None
         if checkpoint_file is not None:
-            from ssd_tensorflow_tpu.utils.checkpoint import (
-                checkpoint_config,
-            )
+            if orbax_mgr is not None:
+                from ssd_tensorflow_tpu.utils.checkpoint_orbax import (
+                    stored_config,
+                )
 
-            saved_scales = checkpoint_config(checkpoint_file).get(
-                "qat_act_scales"
-            )
+                saved_scales = stored_config(args.name).get("qat_act_scales")
+            else:
+                from ssd_tensorflow_tpu.utils.checkpoint import (
+                    checkpoint_config,
+                )
+
+                saved_scales = checkpoint_config(checkpoint_file).get(
+                    "qat_act_scales"
+                )
         if saved_scales is not None:
             # resume: keep training against the SAME quantizer the
             # earlier epochs optimized — recalibrating on the finetuned
@@ -408,7 +439,17 @@ def main(argv=None):
     # Summaries + checkpoints (reference: train.py:203-241)
     # ------------------------------------------------------------------
     writer = SummaryWriter(args.tensorboard_dir)
-    ckpt_mgr = CheckpointManager(args.name, config_dict, max_to_keep=20)
+    if args.checkpoint_backend == "orbax":
+        if orbax_mgr is None:
+            orbax_mgr = OrbaxCheckpointManager(
+                args.name, config_dict, max_to_keep=20
+            )
+        else:
+            orbax_mgr.set_config(config_dict)
+        ckpt_mgr = orbax_mgr
+        print("[i] Checkpoint backend:    orbax")
+    else:
+        ckpt_mgr = CheckpointManager(args.name, config_dict, max_to_keep=20)
 
     training_ap_calc = APCalculator()
     validation_ap_calc = APCalculator()
@@ -686,6 +727,17 @@ def main(argv=None):
 
     ckpt_mgr.save(completed_epoch, state, final=True)
     ckpt_mgr.wait()
+    if orbax_mgr is not None:
+        # the deploy chain (infer --checkpoint / export_model) consumes
+        # npz — mirror the final state there (flag help promises this)
+        from ssd_tensorflow_tpu.utils.checkpoint import save_checkpoint
+
+        host_state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+        save_checkpoint(
+            os.path.join(args.name, "final.ckpt.npz"),
+            host_state,
+            dict(config_dict, epoch=int(completed_epoch)),
+        )
     print("[i] Checkpoint saved:", os.path.join(args.name, "final.ckpt.npz"))
     return 0
 

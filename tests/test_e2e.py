@@ -412,3 +412,129 @@ def test_train_with_qat(dataset, tmp_path):
     assert rc == 0
     resumed = checkpoint_config(os.path.join(name, "final.ckpt.npz"))
     assert resumed.get("qat_act_scales") == scales
+
+
+@pytest.mark.e2e
+def test_train_orbax_backend(dataset, tmp_path):
+    """--checkpoint-backend orbax: epoch checkpoints in orbax layout,
+    resume from the latest orbax step, final state mirrored to
+    final.ckpt.npz for the deploy chain (VERDICT r3 item 5)."""
+    pytest.importorskip("orbax.checkpoint")
+    root, data_dir, samples = dataset
+    name = str(tmp_path / "proj-orbax")
+
+    from ssd_tensorflow_tpu.cli.train import main as train_main
+    from ssd_tensorflow_tpu.utils.checkpoint import checkpoint_config
+
+    common = [
+        "--name", name,
+        "--data-dir", data_dir,
+        "--batch-size", "4",
+        "--tensorboard-dir", str(tmp_path / "tb-orbax"),
+        "--checkpoint-interval", "1",
+        "--num-workers", "0",
+        "--compute-dtype", "float32",
+        "--checkpoint-backend", "orbax",
+    ]
+    rc = train_main(common + ["--epochs", "2"])
+    assert rc == 0
+    # orbax step directories, not e{N}.ckpt.npz archives
+    assert os.path.isdir(os.path.join(name, "1"))
+    assert os.path.isdir(os.path.join(name, "2"))
+    assert not os.path.exists(os.path.join(name, "e1.ckpt.npz"))
+    # ...but the final state is mirrored as npz for infer/export
+    final = os.path.join(name, "final.ckpt.npz")
+    assert os.path.exists(final)
+    assert checkpoint_config(final).get("epoch") == 2
+
+    # resume picks up the latest orbax step
+    rc = train_main(
+        common + ["--epochs", "3", "--continue-training", "yes"]
+    )
+    assert rc == 0
+    assert os.path.isdir(os.path.join(name, "3"))
+    assert checkpoint_config(final).get("epoch") == 3
+
+    # the mirrored npz drives inference end-to-end
+    from ssd_tensorflow_tpu.cli.infer import main as infer_main
+
+    rc = infer_main(
+        [
+            samples[8].filename,
+            "--name", name,
+            "--training-data", os.path.join(data_dir, "training-data.json"),
+            "--output-dir", str(tmp_path / "orbax-infer-out"),
+            "--batch-size", "1",
+            "--threshold", "0.01",
+            "--compute-stats", "no",
+        ]
+    )
+    assert rc == 0
+
+
+@pytest.mark.e2e
+def test_infer_annotate_uses_training_data_colors(dataset, tmp_path, monkeypatch):
+    """Without --data-source, annotation colors come from the
+    training-data artifact (reference infer.py:131-142), not the green
+    fallback (VERDICT r3 item 3)."""
+    import jax
+
+    root, data_dir, samples = dataset
+
+    # an untrained checkpoint is enough — we only check the color path
+    from ssd_tensorflow_tpu.inference import model_config_to_dict
+    from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, init_params
+    from ssd_tensorflow_tpu.parallel.train_step import (
+        TrainConfig,
+        make_train_state,
+    )
+    from ssd_tensorflow_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = ModelConfig(
+        preset_name="test64", num_classes=1, compute_dtype="float32"
+    )
+    state = make_train_state(
+        init_params(jax.random.PRNGKey(0), cfg), TrainConfig(model=cfg)
+    )
+    name = str(tmp_path / "proj-colors")
+    os.makedirs(name)
+    save_checkpoint(
+        os.path.join(name, "final.ckpt.npz"),
+        jax.tree_util.tree_map(np.asarray, state),
+        {
+            "model": model_config_to_dict(cfg),
+            "lid2name": {"0": "square"},
+            "epoch": 0,
+        },
+    )
+
+    drawn_colors = []
+    from ssd_tensorflow_tpu.utils import summaries
+
+    real_draw_box = summaries.draw_box
+
+    def spy_draw_box(img, box, color):
+        drawn_colors.append(tuple(color))
+        return real_draw_box(img, box, color)
+
+    monkeypatch.setattr(summaries, "draw_box", spy_draw_box)
+
+    from ssd_tensorflow_tpu.cli.infer import main as infer_main
+
+    rc = infer_main(
+        [
+            samples[0].filename,
+            "--name", name,
+            "--training-data", os.path.join(data_dir, "training-data.json"),
+            "--output-dir", str(tmp_path / "colors-out"),
+            "--annotate", "yes",
+            "--batch-size", "1",
+            "--threshold", "0.001",
+            "--compute-stats", "no",
+        ]
+    )
+    assert rc == 0
+    # the untrained net at threshold 0.001 emits detections; every drawn
+    # box must use the artifact's color for 'square', not fallback green
+    assert drawn_colors, "no detections drawn — threshold too high?"
+    assert set(drawn_colors) == {(0, 0, 255)}

@@ -39,11 +39,14 @@ while true; do
   E=$(reached)
   echo "[seg] reached epoch $E / $TARGET" >> runs/v512_segments.log
   if [ "$E" -ge "$TARGET" ]; then break; fi
+  # fresh start (no checkpoint yet) must not pass --continue-training
+  CONT="--continue-training yes"
+  if [ "$E" -eq 0 ]; then CONT=""; fi
   python train.py --name runs/v512 --data-dir runs/minivoc1500_512 \
     --batch-size 16 --epochs $TARGET --epochs-per-run $SEGMENT \
     --device-augment True --cache-images True --num-workers 0 \
     --checkpoint-interval 25 --tensorboard-dir runs/tb512 \
-    --continue-training yes >> "$LOG" 2>&1 &
+    $CONT >> "$LOG" 2>&1 &
   echo $! > /tmp/v512.pid
   wait $!
   rc=$?
