@@ -16,7 +16,11 @@ import pickle
 import sys
 
 from ssd_tensorflow_tpu.data.sources import load_data_source
-from ssd_tensorflow_tpu.presets import get_preset_by_name, preset_to_dict
+from ssd_tensorflow_tpu.presets import (
+    SSD_PRESETS,
+    get_preset_by_name,
+    preset_to_dict,
+)
 from ssd_tensorflow_tpu.types import str2bool
 
 
@@ -73,7 +77,7 @@ def build_parser():
     parser.add_argument(
         "--preset",
         default="vgg300",
-        choices=["vgg300", "vgg512"],
+        choices=sorted(SSD_PRESETS),
         help="the neural network preset",
     )
     parser.add_argument(

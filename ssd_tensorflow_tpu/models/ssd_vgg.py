@@ -66,6 +66,13 @@ class ModelConfig:
     #: back to the packed XLA stem. Off CPU/interpret the kernel runs
     #: in interpret mode so the wiring stays testable.
     pallas_stem: bool = False
+    #: which Pallas stem kernel `pallas_stem` selects: "dma" = the
+    #: split stem (XLA conv1_1, Pallas conv1_2+pool1 with manual DMA);
+    #: "uint8" = the whole stem in one kernel reading the raw uint8
+    #: image (ops/stem_pallas.fused_stem_uint8 — no large operand at
+    #: the custom-call boundary; needs Mosaic lane-unflatten support,
+    #: present on newer libtpu only).
+    pallas_stem_variant: str = "dma"
     #: epsilon inside the conv4_3 L2-normalization rsqrt. QAT training
     #: sets 1e-3 (activation fake-quant rounds small values to exact
     #: zeros; rsqrt(1e-12) there makes 1e6-scale gradients) and the value
@@ -204,11 +211,18 @@ def _feature_maps(
     if config.pallas_stem and inference and not preprocessed:
         import jax as _jax
 
-        from ssd_tensorflow_tpu.ops.stem_pallas import fused_stem_pallas_dma
+        from ssd_tensorflow_tpu.ops import stem_pallas
 
-        pool1 = fused_stem_pallas_dma(
+        stem_fn = {
+            "dma": stem_pallas.fused_stem_pallas_dma,
+            "uint8": stem_pallas.fused_stem_uint8,
+        }[config.pallas_stem_variant]
+        stem_in = images
+        if config.pallas_stem_variant == "uint8":
+            stem_in = images.astype(jnp.uint8)
+        pool1 = stem_fn(
             params,
-            images,
+            stem_in,
             config.mean_bgr,
             config.compute_dtype,
             interpret=_jax.default_backend() != "tpu",

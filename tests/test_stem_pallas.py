@@ -93,6 +93,50 @@ def test_pallas_stem_requires_bf16():
 
 
 @pytest.mark.parametrize(
+    "h,w,nine",
+    [
+        (32, 64, False),    # single row-tile (prefetch crosses boundary)
+        (96, 64, False),    # three tiles
+        (300, 300, False),  # padded height (vgg300)
+        (96, 64, True),     # the 9-dot K=6 probe variant
+    ],
+)
+def test_uint8_variant_matches_packed_stem(params, h, w, nine):
+    """The whole-stem uint8 kernel (preprocess+conv1_1+conv1_2+pool1 in
+    one Pallas call) matches the packed XLA stem, both tap layouts."""
+    from ssd_tensorflow_tpu.ops.stem_pallas import fused_stem_uint8
+
+    rng = np.random.default_rng(42)
+    img = jnp.asarray(rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8))
+    ref = conv1_block_packed(params, img, MEAN, "bfloat16", f32_out=True)
+    got = fused_stem_uint8(
+        params, img, MEAN, "bfloat16", interpret=True, nine_taps=nine
+    )
+    assert got.shape == ref.shape == (2, h // 2, w // 2, 64)
+    diff = jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)))
+    scale = jnp.max(jnp.abs(ref.astype(jnp.float32)))
+    assert float(diff) <= 0.005 * float(scale) + 0.25
+
+
+def test_model_wiring_uint8_variant():
+    """pallas_stem_variant='uint8' routes inference through the
+    whole-stem kernel and matches the packed-stem scores."""
+    from ssd_tensorflow_tpu.models.ssd_vgg import apply_scores
+
+    cfg_ref = ModelConfig(preset_name="test64", num_classes=3)
+    cfg_pal = ModelConfig(preset_name="test64", num_classes=3,
+                          pallas_stem=True, pallas_stem_variant="uint8")
+    p = init_params(jax.random.PRNGKey(1), cfg_ref)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    conf_r, cls_r, locs_r = apply_scores(p, img, cfg_ref)
+    conf_p, cls_p, locs_p = apply_scores(p, img, cfg_pal)
+    assert float(jnp.max(jnp.abs(conf_r - conf_p))) < 0.02
+    assert float(jnp.mean((cls_r == cls_p))) > 0.99
+    assert float(jnp.max(jnp.abs(locs_r - locs_p))) < 0.05
+
+
+@pytest.mark.parametrize(
     "h,w",
     [
         (32, 64),    # single row-tile (prefetch crosses image boundary)

@@ -90,6 +90,11 @@ run bench_int8_padded python bench.py --padded-heads
 run bench_float python bench.py --float
 run bench_float_padded python bench.py --float --padded-heads
 run bench_float_pallas_stem python bench.py --float --pallas-stem
+# round-4 final stem attempt (VERDICT r3 item 6): the whole-stem uint8
+# kernel — standalone probe + in-situ bench; win or lose, the numbers
+# close the stem chapter in docs/PERFORMANCE.md
+run stem_uint8_probe python tools/stem_uint8_probe.py
+run bench_float_stem_uint8 python bench.py --float --pallas-stem --stem-variant uint8
 run bench_vgg300_int8 python bench.py --preset vgg300
 run bench_vgg300_float python bench.py --preset vgg300 --float
 run entry python -c "import __graft_entry__, jax; fn, a = __graft_entry__.entry(); r = jax.jit(fn)(*a); jax.block_until_ready(r); print('entry ok')"
