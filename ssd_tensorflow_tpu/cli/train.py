@@ -314,7 +314,9 @@ def main(argv=None):
     print("[i] Creating the model...")
     params = init_params(jax.random.PRNGKey(0), model_cfg)
     vgg_npz = os.path.join(args.vgg_dir, "vgg16.npz")
-    if start_epoch == 0 and os.path.exists(vgg_npz):
+    if model_cfg.preset.backbone != "vgg":
+        pass  # --vgg-dir bootstrap only applies to the VGG family
+    elif start_epoch == 0 and os.path.exists(vgg_npz):
         print("[i] Loading pretrained VGG weights from", vgg_npz)
         params = load_pretrained_vgg(vgg_npz, params)
     elif start_epoch == 0:

@@ -152,6 +152,12 @@ def make_qat_forward(model_cfg: ModelConfig, act_scales):
     """The fake-quant forward ``(params, images) -> (logits, locs)`` as a
     closure over static scales — pluggable into make_train_step /
     make_eval_step via their ``forward`` parameter."""
+    if model_cfg.preset.backbone != "vgg":
+        raise NotImplementedError(
+            "QAT mirrors the VGG int8 deploy structure; preset "
+            f"{model_cfg.preset_name!r} uses backbone "
+            f"{model_cfg.preset.backbone!r}"
+        )
     if model_cfg.l2_norm_eps < 1e-6:
         raise ValueError(
             "QAT requires ModelConfig.l2_norm_eps >= 1e-6 (got "

@@ -379,6 +379,12 @@ class QuantizedModel:
         self, params, config: ModelConfig, calibration_images,
         percentile: float = 100.0,
     ):
+        if config.preset.backbone != "vgg":
+            raise NotImplementedError(
+                "the int8 deploy path walks the VGG layer structure; "
+                f"preset {config.preset_name!r} uses backbone "
+                f"{config.preset.backbone!r} (export it unquantized)"
+            )
         self.config = config
         self.qparams = quantize_weights(params)
         self.act_scales = calibrate_activation_scales(

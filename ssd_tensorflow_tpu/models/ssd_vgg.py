@@ -99,6 +99,12 @@ class ModelConfig:
                 f"(got {self.compute_dtype!r}); the fused stem kernel "
                 "is a bf16 MXU kernel (ops/stem_pallas.py)"
             )
+        if self.pallas_stem and self.preset.backbone != "vgg":
+            raise ValueError(
+                "pallas_stem is a VGG conv1-block kernel; preset "
+                f"{self.preset_name!r} uses backbone "
+                f"{self.preset.backbone!r}"
+            )
 
     @property
     def preset(self) -> SSDPreset:
@@ -143,10 +149,19 @@ def _extra_layer_defs(num_maps: int):
     return defs
 
 
-#: input channel count of each multibox head source map
+#: input channel count of each multibox head source map (VGG family)
 #: [norm_conv4_3, mod_conv7, conv8_2, conv9_2, conv10_2, conv11_2, (conv12_2)]
 #: (reference: ssdvgg.py:340-350).
 _MAP_CHANNELS = (512, 1024, 512, 256, 256, 256, 256)
+
+
+def map_channels(preset: SSDPreset):
+    """Head-input channel count per multibox source map, per family."""
+    if preset.backbone == "resnet34":
+        from ssd_tensorflow_tpu.models import resnet
+
+        return resnet.map_channels(preset)
+    return _MAP_CHANNELS[: preset.num_maps]
 
 
 def init_params(key, config: ModelConfig, dtype=jnp.float32):
@@ -154,26 +169,32 @@ def init_params(key, config: ModelConfig, dtype=jnp.float32):
     preset = config.preset
     k_vgg, k_extra, k_heads = jax.random.split(key, 3)
 
-    params = vgg16.init_vgg_params(k_vgg, dtype)
+    if preset.backbone == "resnet34":
+        from ssd_tensorflow_tpu.models import resnet
 
-    # conv4_3 L2-norm learnable scale, initialized to 20 (ssdvgg.py:335-337)
-    params["l2_norm_conv4_3"] = {"scale": jnp.full((512,), 20.0, dtype)}
+        params = resnet.init_resnet_params(k_vgg, preset, dtype)
+    else:
+        params = vgg16.init_vgg_params(k_vgg, dtype)
 
-    defs = _extra_layer_defs(preset.num_maps)
-    cin = 1024
-    for k, (name, cout, ksize, _, _) in zip(
-        jax.random.split(k_extra, len(defs)), defs
-    ):
-        params[name] = init_conv(k, ksize, ksize, cin, cout, dtype)
-        cin = cout
+        # conv4_3 L2-norm learnable scale, init to 20 (ssdvgg.py:335-337)
+        params["l2_norm_conv4_3"] = {"scale": jnp.full((512,), 20.0, dtype)}
+
+        defs = _extra_layer_defs(preset.num_maps)
+        cin = 1024
+        for k, (name, cout, ksize, _, _) in zip(
+            jax.random.split(k_extra, len(defs)), defs
+        ):
+            params[name] = init_conv(k, ksize, ksize, cin, cout, dtype)
+            cin = cout
 
     # Multibox heads: one wide conv per map, channels = heads-major
     # concat of per-shape heads, each initialized like a separate
     # 3x3xCx(num_vars) xavier conv (ssdvgg.py:55-65,353-362).
     nv = config.num_vars
+    chans = map_channels(preset)
     head_keys = jax.random.split(k_heads, preset.num_maps)
     for i, m in enumerate(preset.maps):
-        c = _MAP_CHANNELS[i]
+        c = chans[i]
         ks = jax.random.split(head_keys[i], m.num_shapes)
         ws, bs = [], []
         for kk in ks:
@@ -208,6 +229,12 @@ def _feature_maps(
     from ssd_tensorflow_tpu.models.layers import l2_normalize_scale
 
     preset = config.preset
+    if preset.backbone == "resnet34":
+        from ssd_tensorflow_tpu.models import resnet
+
+        x = images if preprocessed else preprocess(images, config)
+        x = x.astype(jnp.dtype(config.compute_dtype))
+        return resnet.apply_feature_maps(params, x, preset, f32_out=inference)
     if config.pallas_stem and inference and not preprocessed:
         import jax as _jax
 

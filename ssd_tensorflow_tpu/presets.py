@@ -38,13 +38,19 @@ class SSDPreset:
     maps: Tuple[SSDMap, ...]
     extra_scale: float
     num_anchors: int
+    #: which backbone family builds this preset's feature maps. The
+    #: reference has exactly one ("vgg", ssdvgg.py:87-372); "resnet34"
+    #: selects models/resnet.py. Everything anchor-side (generation,
+    #: matching, codec, NMS, AP) is backbone-agnostic.
+    backbone: str = "vgg"
 
     @property
     def num_maps(self) -> int:
         return len(self.maps)
 
 
-def _preset(name, image_size, maps, extra_scale, num_anchors) -> SSDPreset:
+def _preset(name, image_size, maps, extra_scale, num_anchors,
+            backbone="vgg") -> SSDPreset:
     return SSDPreset(
         name=name,
         image_size=Size(*image_size),
@@ -53,6 +59,7 @@ def _preset(name, image_size, maps, extra_scale, num_anchors) -> SSDPreset:
         ),
         extra_scale=extra_scale,
         num_anchors=num_anchors,
+        backbone=backbone,
     )
 
 
@@ -88,6 +95,40 @@ SSD_PRESETS = {
         ],
         extra_scale=1.07,
         num_anchors=372,
+    ),
+    # ResNet-34 SSD at 320x320 — the second model family (not in the
+    # reference; models/resnet.py documents the design). 320 divides by
+    # 64, so the trunk taps land on exact 40/20/10 grids with no ceil
+    # padding anywhere; scales mirror vgg300's progression.
+    "resnet320": _preset(
+        "resnet320",
+        (320, 320),
+        [
+            ((40, 40), 0.1, (2, 0.5)),
+            ((20, 20), 0.2, (2, 3, 0.5, 1.0 / 3.0)),
+            ((10, 10), 0.375, (2, 3, 0.5, 1.0 / 3.0)),
+            ((5, 5), 0.55, (2, 3, 0.5, 1.0 / 3.0)),
+            ((3, 3), 0.725, (2, 0.5)),
+            ((1, 1), 0.9, (2, 0.5)),
+        ],
+        extra_scale=1.075,
+        num_anchors=9590,
+        backbone="resnet34",
+    ),
+    # Tiny resnet34 preset for fast tests, the rtest64 analog of test64:
+    # 64x64 input, trunk taps 8/4/2 + one extra map, 372 anchors.
+    "rtest64": _preset(
+        "rtest64",
+        (64, 64),
+        [
+            ((8, 8), 0.15, (2, 0.5)),
+            ((4, 4), 0.4, (2, 3, 0.5, 1.0 / 3.0)),
+            ((2, 2), 0.65, (2, 0.5)),
+            ((1, 1), 0.9, (2, 0.5)),
+        ],
+        extra_scale=1.07,
+        num_anchors=372,
+        backbone="resnet34",
     ),
     # Reference: ssdutils.py:49-61
     "vgg512": _preset(
@@ -132,6 +173,7 @@ def preset_to_dict(preset: SSDPreset) -> dict:
         ],
         "extra_scale": preset.extra_scale,
         "num_anchors": preset.num_anchors,
+        "backbone": preset.backbone,
     }
 
 
@@ -142,4 +184,6 @@ def preset_from_dict(d: dict) -> SSDPreset:
         [(tuple(m["size"]), m["scale"], tuple(m["aspect_ratios"])) for m in d["maps"]],
         d["extra_scale"],
         d["num_anchors"],
+        # artifacts written before the backbone field existed are VGG
+        d.get("backbone", "vgg"),
     )
