@@ -161,6 +161,55 @@ class TestTraining:
         assert not np.allclose(w0, np.asarray(state.params["s0b0_conv1"]["w"]))
 
 
+class TestDataParallel:
+    def test_sharded_step_matches_single_device(self, cfg):
+        """GroupNorm is per-sample, so 8-way DP must be numerically
+        identical to single-device — same contract as the VGG family
+        (tests/test_train_step.py), no cross-chip norm sync needed."""
+        from ssd_tensorflow_tpu.ops.postprocess import DetectionConfig
+        from ssd_tensorflow_tpu.parallel.mesh import make_mesh
+        from ssd_tensorflow_tpu.parallel.train_step import (
+            TrainConfig,
+            make_train_state,
+            make_train_step,
+            shard_batch,
+            shard_state,
+        )
+        from reference_impl import random_boxes
+
+        assert jax.device_count() == 8
+        tcfg = TrainConfig(
+            model=cfg, detect=DetectionConfig(top_k=32, confidence_threshold=0.5)
+        )
+        params = init_params(jax.random.PRNGKey(2), cfg)
+        anchors = anchors_for_preset(cfg.preset)
+        step = make_train_step(tcfg, anchors, donate=False)
+        rng = np.random.default_rng(3)
+        gt = np.stack([random_boxes(rng, 8, tight=True) for _ in range(8)])
+        batch = {
+            "images": rng.uniform(0, 255, (8, 64, 64, 3)).astype(np.float32),
+            "gt_boxes": gt.astype(np.float32),
+            "gt_labels": rng.integers(0, K, (8, 8)).astype(np.int32),
+            "gt_mask": np.ones((8, 8), dtype=bool),
+        }
+
+        mesh = make_mesh()
+        state_sh = shard_state(make_train_state(params, tcfg), mesh)
+        state_sh, losses_sh, _ = step(state_sh, shard_batch(batch, mesh))
+
+        state_1 = make_train_state(params, tcfg)
+        state_1, losses_1, _ = step(state_1, batch)
+
+        np.testing.assert_allclose(
+            float(losses_sh["total"]), float(losses_1["total"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_sh.params["s1b0_conv1"]["w"]),
+            np.asarray(state_1.params["s1b0_conv1"]["w"]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
 class TestFamilyGates:
     def test_pallas_stem_refused(self):
         with pytest.raises(ValueError, match="VGG conv1-block"):
