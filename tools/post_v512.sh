@@ -97,6 +97,8 @@ run stem_uint8_probe python tools/stem_uint8_probe.py
 run bench_float_stem_uint8 python bench.py --float --pallas-stem --stem-variant uint8
 run bench_vgg300_int8 python bench.py --preset vgg300
 run bench_vgg300_float python bench.py --preset vgg300 --float
+# second model family: first on-TPU throughput number
+run bench_resnet320_float python bench.py --preset resnet320 --float
 run entry python -c "import __graft_entry__, jax; fn, a = __graft_entry__.entry(); r = jax.jit(fn)(*a); jax.block_until_ready(r); print('entry ok')"
 
 echo "$(date -u +%H:%M:%S) all done" >> "$LOG/progress"
