@@ -310,3 +310,30 @@ def test_resnet_cli_chain(tmp_path):
     )
     assert rc == 0
     assert len([f for f in os.listdir(out_dir) if f.endswith(".jpg")]) == 2
+
+    # export (unquantized — int8 is VGG-only) + standalone detect
+    from ssd_tensorflow_tpu.cli.detect import main as detect_main
+    from ssd_tensorflow_tpu.cli.export_model import main as export_main
+
+    bundle = str(tmp_path / "model.ssdtpu.npz")
+    rc = export_main(
+        [
+            "--checkpoint-file", os.path.join(name, "final.ckpt.npz"),
+            "--output-file", bundle,
+        ]
+    )
+    assert rc == 0
+    det_dir = str(tmp_path / "det")
+    rc = detect_main(
+        [
+            samples[6].filename,
+            "--model", bundle,
+            "--output-dir", det_dir,
+            "--batch-size", "2",
+            "--threshold", "0.01",
+        ]
+    )
+    assert rc == 0
+    base = os.path.basename(samples[6].filename)
+    assert os.path.exists(os.path.join(det_dir, base))
+    assert os.path.exists(os.path.join(det_dir, base + ".txt"))
