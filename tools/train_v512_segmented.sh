@@ -16,12 +16,15 @@ set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 
-# 240, not 300: the LR schedule never decays inside this run (boundaries
-# 320k/400k steps ~ epoch 3400 at 93 steps/epoch), valid mAP has been in
-# its 0.81-0.85 plateau band since ~e150, and the post-training window
-# (int8 parity A/B, optional QAT finetune, full test suite) needs the
-# TPU time more than 60 extra constant-LR epochs do.
-TARGET=240
+# 200, not 240/300: the LR schedule never decays inside this run
+# (boundaries 320k/400k steps ~ epoch 3400 at 93 steps/epoch), the
+# round-3 run's valid mAP sat in its 0.81-0.85 plateau band from ~e150,
+# and at the measured ~87 s/epoch the post-training window (float/int8
+# held-out evals, calibration A/B, optional QAT finetune, bench matrix)
+# plus evidence-commit time must fit inside the round. 40 extra
+# constant-LR epochs buy plateau noise; the post window buys the
+# committed evidence this run exists for.
+TARGET=200
 SEGMENT=60
 LOG=runs/v512.log
 
