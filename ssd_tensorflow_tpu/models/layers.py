@@ -40,6 +40,31 @@ def conv2d(x, w, b=None, stride=1, padding="SAME", dilation=1, f32_out=False):
     return y.astype(x.dtype) if f32_out else y
 
 
+def depthwise_conv2d(x, w, b=None, stride=1, padding="SAME", f32_out=False):
+    """Depthwise 2-D convolution. ``w`` is HWIO with I=1, O=C.
+
+    TPU note: a depthwise conv does one MAC per filter tap per output
+    element — no contraction dimension — so XLA lowers it to the VPU,
+    not the MXU. That is the right trade for the MobileNet family: the
+    FLOPs live in the 1x1 pointwise convs (pure MXU matmuls) and the
+    depthwise pass is a cheap bandwidth-bound stencil that XLA fuses
+    with the surrounding elementwise work.
+    """
+    c = x.shape[-1]
+    y = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=c,
+        preferred_element_type=jnp.float32 if f32_out else None,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y.astype(x.dtype) if f32_out else y
+
+
 def conv_relu(params, x, stride=1, padding="SAME", dilation=1, f32_out=False):
     """conv + bias + ReLU block (reference conv_map, ssdvgg.py:42-52)."""
     return jax.nn.relu(

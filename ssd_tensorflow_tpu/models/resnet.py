@@ -188,3 +188,7 @@ def apply_feature_maps(params, x, preset: SSDPreset, f32_out=False):
     for m, pm in zip(maps, preset.maps):
         assert m.shape[1:3] == (pm.size.h, pm.size.w), (m.shape, pm.size)
     return maps
+
+
+#: uniform family-dispatch name (models/ssd_vgg._backbone_module)
+init_backbone_params = init_resnet_params

@@ -155,12 +155,29 @@ def _extra_layer_defs(num_maps: int):
 _MAP_CHANNELS = (512, 1024, 512, 256, 256, 256, 256)
 
 
-def map_channels(preset: SSDPreset):
-    """Head-input channel count per multibox source map, per family."""
+def _backbone_module(preset: SSDPreset):
+    """Non-VGG family module for a preset, or None for the VGG family.
+
+    Each family module exposes the same surface: ``map_channels``,
+    ``init_backbone_params`` and ``apply_feature_maps``. Imports are
+    lazy so the VGG path never pays for families it doesn't use.
+    """
     if preset.backbone == "resnet34":
         from ssd_tensorflow_tpu.models import resnet
 
-        return resnet.map_channels(preset)
+        return resnet
+    if preset.backbone == "mobilenetv1":
+        from ssd_tensorflow_tpu.models import mobilenet
+
+        return mobilenet
+    return None
+
+
+def map_channels(preset: SSDPreset):
+    """Head-input channel count per multibox source map, per family."""
+    fam = _backbone_module(preset)
+    if fam is not None:
+        return fam.map_channels(preset)
     return _MAP_CHANNELS[: preset.num_maps]
 
 
@@ -169,10 +186,9 @@ def init_params(key, config: ModelConfig, dtype=jnp.float32):
     preset = config.preset
     k_vgg, k_extra, k_heads = jax.random.split(key, 3)
 
-    if preset.backbone == "resnet34":
-        from ssd_tensorflow_tpu.models import resnet
-
-        params = resnet.init_resnet_params(k_vgg, preset, dtype)
+    fam = _backbone_module(preset)
+    if fam is not None:
+        params = fam.init_backbone_params(k_vgg, preset, dtype)
     else:
         params = vgg16.init_vgg_params(k_vgg, dtype)
 
@@ -229,12 +245,11 @@ def _feature_maps(
     from ssd_tensorflow_tpu.models.layers import l2_normalize_scale
 
     preset = config.preset
-    if preset.backbone == "resnet34":
-        from ssd_tensorflow_tpu.models import resnet
-
+    fam = _backbone_module(preset)
+    if fam is not None:
         x = images if preprocessed else preprocess(images, config)
         x = x.astype(jnp.dtype(config.compute_dtype))
-        return resnet.apply_feature_maps(params, x, preset, f32_out=inference)
+        return fam.apply_feature_maps(params, x, preset, f32_out=inference)
     if config.pallas_stem and inference and not preprocessed:
         import jax as _jax
 

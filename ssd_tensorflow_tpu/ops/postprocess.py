@@ -77,8 +77,13 @@ def _candidates_single(probs, locs, anchors, cfg: DetectionConfig):
 
 
 def _candidates_from_scores(conf, cls, locs, anchors, cfg: DetectionConfig):
-    """Top-K candidate prep from per-anchor ``(conf, cls)`` scores."""
-    conf_top, idx = jax.lax.top_k(conf, cfg.top_k)  # sorted desc
+    """Top-K candidate prep from per-anchor ``(conf, cls)`` scores.
+
+    ``top_k`` is clamped to the anchor count so tiny presets (fewer
+    anchors than the default 200-candidate cap, e.g. mntest64's 116)
+    run unchanged.
+    """
+    conf_top, idx = jax.lax.top_k(conf, min(cfg.top_k, conf.shape[-1]))
     cls_top = cls[idx].astype(jnp.int32)
     boxes = decode_locations(locs[idx].astype(jnp.float32), anchors[idx])
     boxes = clamp_boxes(boxes)
@@ -88,12 +93,13 @@ def _candidates_from_scores(conf, cls, locs, anchors, cfg: DetectionConfig):
 
 def _finalize_single(boxes, conf_top, cls_top, keep, cfg: DetectionConfig):
     """Compact kept rows to the front and trim to max_detections."""
-    if cfg.max_detections < cfg.top_k:
+    n_cand = boxes.shape[0]  # min(cfg.top_k, num_anchors)
+    if cfg.max_detections < n_cand:
         # Compact kept detections to the front (they are already sorted
         # by confidence) and trim to max_detections.
         rank = jnp.cumsum(keep) - 1
         d = cfg.max_detections
-        dest = jnp.where(keep, rank, cfg.top_k)  # parked rows -> out of range
+        dest = jnp.where(keep, rank, n_cand)  # parked rows -> out of range
         boxes_o = jnp.zeros((d, 4), boxes.dtype).at[dest].set(boxes, mode="drop")
         scores_o = jnp.zeros((d,), conf_top.dtype).at[dest].set(conf_top, mode="drop")
         cls_o = jnp.zeros((d,), jnp.int32).at[dest].set(cls_top, mode="drop")

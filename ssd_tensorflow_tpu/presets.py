@@ -40,8 +40,9 @@ class SSDPreset:
     num_anchors: int
     #: which backbone family builds this preset's feature maps. The
     #: reference has exactly one ("vgg", ssdvgg.py:87-372); "resnet34"
-    #: selects models/resnet.py. Everything anchor-side (generation,
-    #: matching, codec, NMS, AP) is backbone-agnostic.
+    #: selects models/resnet.py, "mobilenetv1" models/mobilenet.py.
+    #: Everything anchor-side (generation, matching, codec, NMS, AP) is
+    #: backbone-agnostic.
     backbone: str = "vgg"
 
     @property
@@ -129,6 +130,41 @@ SSD_PRESETS = {
         extra_scale=1.07,
         num_anchors=372,
         backbone="resnet34",
+    ),
+    # MobileNetV1 SSD at 320x320 — the third model family (not in the
+    # reference; models/mobilenet.py documents the design). Trunk taps
+    # are the canonical MobileNet-SSD conv11/conv13 points (stride
+    # 16/32 -> 20/10 grids); extras taper 5/3/2/1. Fewer, coarser maps
+    # than the VGG/ResNet families is the family's own convention —
+    # 2,424 anchors.
+    "mobilenet320": _preset(
+        "mobilenet320",
+        (320, 320),
+        [
+            ((20, 20), 0.15, (2, 0.5)),
+            ((10, 10), 0.3, (2, 3, 0.5, 1.0 / 3.0)),
+            ((5, 5), 0.45, (2, 3, 0.5, 1.0 / 3.0)),
+            ((3, 3), 0.6, (2, 3, 0.5, 1.0 / 3.0)),
+            ((2, 2), 0.75, (2, 0.5)),
+            ((1, 1), 0.9, (2, 0.5)),
+        ],
+        extra_scale=1.075,
+        num_anchors=2424,
+        backbone="mobilenetv1",
+    ),
+    # Tiny mobilenetv1 preset for fast tests (the test64/rtest64
+    # analog): 64x64 input, trunk taps 4/2 + one extra map, 116 anchors.
+    "mntest64": _preset(
+        "mntest64",
+        (64, 64),
+        [
+            ((4, 4), 0.4, (2, 3, 0.5, 1.0 / 3.0)),
+            ((2, 2), 0.65, (2, 0.5)),
+            ((1, 1), 0.9, (2, 0.5)),
+        ],
+        extra_scale=1.07,
+        num_anchors=116,
+        backbone="mobilenetv1",
     ),
     # Reference: ssdutils.py:49-61
     "vgg512": _preset(
