@@ -241,20 +241,6 @@ def main():
                 "--pallas-stem is a bf16 stem kernel: the default int8 "
                 "path has its own stem — pass --float with it"
             )
-        from ssd_tensorflow_tpu.presets import get_preset_by_name
-
-        if (
-            not args.float
-            and args.bundle is None
-            and get_preset_by_name(args.preset).backbone != "vgg"
-        ):
-            # the int8 deploy path is VGG-structured (models/quantized.py)
-            print(
-                f"[i] preset {args.preset} has no int8 path; "
-                "measuring the bf16 float path",
-                file=sys.stderr,
-            )
-            args.float = True
         bundle_path = args.bundle
         if (
             bundle_path is None

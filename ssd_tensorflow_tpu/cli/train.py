@@ -357,6 +357,15 @@ def main(argv=None):
             calibrate_activation_scales,
         )
 
+        if model_cfg.preset.backbone != "vgg":
+            print(
+                "[!] --qat mirrors the VGG int8 deploy structure; the "
+                f"{model_cfg.preset.backbone} family deploys through "
+                "per-channel PTQ (export_model.py --quantize), which "
+                "needs no finetune"
+            )
+            return 1
+
         saved_scales = None
         if checkpoint_file is not None:
             if orbax_mgr is not None:

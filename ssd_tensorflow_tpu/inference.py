@@ -123,10 +123,20 @@ def load_bundle(path: str):
         model_cfg = model_config_from_dict(meta["model"])
         quantized = meta.get("format", "").endswith("int8.v1")
         if quantized:
-            from ssd_tensorflow_tpu.models.quantized import quantize_weights
+            from ssd_tensorflow_tpu.models.quantized import (
+                _family_module,
+                quantize_weights,
+                quantize_weights_folded,
+            )
 
-            template = quantize_weights(
-                init_params(jax.random.PRNGKey(0), model_cfg)
+            flt = init_params(jax.random.PRNGKey(0), model_cfg)
+            # family int8 bundles fold per-channel activation scales
+            # into the param pytree (quantized.quantize_weights_folded),
+            # so their structural template differs from the VGG one
+            template = (
+                quantize_weights_folded(flt)
+                if _family_module(model_cfg) is not None
+                else quantize_weights(flt)
             )
         else:
             template = init_params(jax.random.PRNGKey(0), model_cfg)

@@ -65,6 +65,29 @@ def depthwise_conv2d(x, w, b=None, stride=1, padding="SAME", f32_out=False):
     return y.astype(x.dtype) if f32_out else y
 
 
+def float_conv_executor(params, f32_out=False):
+    """The float conv executor for a family ``walk_feature_maps``.
+
+    Family backbones (models/resnet.py, models/mobilenet.py) express
+    their feature-map walk once over an injectable conv executor
+    ``conv(name, x, *, stride=1, padding="SAME", depthwise=False) -> y``
+    (conv + bias only — norms/activations/skips live in the walker).
+    This executor is the float instantiation; models/quantized.py
+    injects the int8 one, and its calibration pass a recording one, so
+    the three paths can never walk different structures.
+    """
+
+    def conv(name, x, *, stride=1, padding="SAME", depthwise=False):
+        p = params[name]
+        if depthwise:
+            return depthwise_conv2d(x, p["w"], p["b"], stride=stride,
+                                    f32_out=f32_out)
+        return conv2d(x, p["w"], p["b"], stride=stride, padding=padding,
+                      f32_out=f32_out)
+
+    return conv
+
+
 def conv_relu(params, x, stride=1, padding="SAME", dilation=1, f32_out=False):
     """conv + bias + ReLU block (reference conv_map, ssdvgg.py:42-52)."""
     return jax.nn.relu(

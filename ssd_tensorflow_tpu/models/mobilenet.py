@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 import jax
 
-from ssd_tensorflow_tpu.models.layers import conv2d, depthwise_conv2d, init_conv
+from ssd_tensorflow_tpu.models.layers import float_conv_executor, init_conv
 from ssd_tensorflow_tpu.models.resnet import _init_gn, group_norm
 from ssd_tensorflow_tpu.presets import SSDPreset
 
@@ -136,29 +136,30 @@ def init_backbone_params(key, preset: SSDPreset, dtype=jnp.float32):
     return params
 
 
-def apply_feature_maps(params, x, preset: SSDPreset, f32_out=False):
-    """Preprocessed images -> the preset's multibox source maps."""
-    x = conv2d(x, params["stem_conv"]["w"], params["stem_conv"]["b"],
-               stride=2, f32_out=f32_out)
+def walk_feature_maps(params, x, preset: SSDPreset, conv):
+    """The family's feature-map walk over an injectable conv executor
+    ``conv(name, x, *, stride=1, padding="SAME", depthwise=False) -> y``
+    (conv + bias only). GroupNorms and ReLU6 run here, in the executor's
+    output dtype — so the float path (layers.float_conv_executor), the
+    int8 deploy path and its calibration pass (models/quantized.py)
+    share one structure by construction. The ``depthwise`` flag lets the
+    int8 executor keep the depthwise stencils in float (weight-only
+    quantized): they are VPU/bandwidth-bound, so A8 requant round trips
+    would cost without any MXU payoff."""
+    x = conv("stem_conv", x, stride=2)
     x = relu6(group_norm(x, params["stem_gn"]))
 
     maps = []
     for i, (stride, _) in enumerate(BLOCKS, start=1):
-        x = depthwise_conv2d(x, params[f"b{i}_dw"]["w"],
-                             params[f"b{i}_dw"]["b"], stride=stride,
-                             f32_out=f32_out)
+        x = conv(f"b{i}_dw", x, stride=stride, depthwise=True)
         x = relu6(group_norm(x, params[f"b{i}_dw_gn"]))
-        x = conv2d(x, params[f"b{i}_pw"]["w"], params[f"b{i}_pw"]["b"],
-                   f32_out=f32_out)
+        x = conv(f"b{i}_pw", x)
         x = relu6(group_norm(x, params[f"b{i}_pw_gn"]))
         if i in TAP_BLOCKS:
             maps.append(x)
 
     for name, _, _, stride, padding in extra_layer_defs(preset):
-        x = relu6(
-            conv2d(x, params[name]["w"], params[name]["b"], stride=stride,
-                   padding=padding, f32_out=f32_out)
-        )
+        x = relu6(conv(name, x, stride=stride, padding=padding))
         if name.endswith("_2"):
             maps.append(x)
 
@@ -166,3 +167,10 @@ def apply_feature_maps(params, x, preset: SSDPreset, f32_out=False):
     for m, pm in zip(maps, preset.maps):
         assert m.shape[1:3] == (pm.size.h, pm.size.w), (m.shape, pm.size)
     return maps
+
+
+def apply_feature_maps(params, x, preset: SSDPreset, f32_out=False):
+    """Preprocessed images -> the preset's multibox source maps."""
+    return walk_feature_maps(
+        params, x, preset, float_conv_executor(params, f32_out)
+    )

@@ -11,6 +11,16 @@ quantized analog of the reference's frozen-graph export
 Layers quantized: every conv (backbone, a-trous conv6/7, extras,
 multibox heads). The conv4_3 L2-normalization runs in float between
 quantized convs.
+
+All three model families deploy through this path. The VGG family has
+its own hand-scheduled walk below; the resnet34/mobilenetv1 families
+walk their module's ``walk_feature_maps`` with an int8 conv executor
+(:func:`_qconv_executor`) — full/pointwise convs W8A8, GroupNorms in
+float between them, and MobileNet's depthwise stencils weight-only
+quantized (W8 with float activations: no contraction dim means no MXU
+payoff for A8, only requant round trips). QAT
+(models/qat.py) remains VGG-only; family PTQ parity is tested in
+tests/test_quantized_families.py.
 """
 
 from __future__ import annotations
@@ -175,9 +185,127 @@ def _stem_q_packed(qparams, act_scales, images, config: ModelConfig):
     return jnp.maximum(y[..., :64], y[..., 64:]).astype(jnp.bfloat16)
 
 
+def _family_module(config: ModelConfig):
+    from ssd_tensorflow_tpu.models.ssd_vgg import _backbone_module
+
+    return _backbone_module(config.preset)
+
+
+# --- family (non-VGG) int8 path: per-input-channel activation scales ---
+#
+# The family trunks normalize between convs (GroupNorm), which
+# *amplifies* per-tensor activation-quantization noise: GN divides by
+# the tensor std, so a scale set by the tensor-wide max makes the
+# relative error of low-amplitude channels large — measured ~10-11%
+# per-map feature error on mobilenetv1 vs ~3% for the VGG family.
+# Per-INPUT-channel activation scales cut that to ~7% (bf16 activations
+# alone are ~3.5%) and cost NOTHING at inference: the channel scale
+# a_c folds into the float weights along their input axis before
+# per-output-channel weight quantization, so the deployed program is
+# the same quantize -> int8 conv -> per-cout requant as the per-tensor
+# path — only the int8 grid x is quantized onto is per-channel.
+
+
+def quantize_weights_folded(params, act_amax=None):
+    """Family int8 deploy pytree: per-input-channel activation scales
+    folded into per-output-channel int8 weights.
+
+    ``act_amax`` maps quantizable conv names to per-input-channel |x|
+    maxima from :func:`calibrate_activation_amax` (None -> unit scales,
+    used only to build the structural template in
+    inference.load_bundle). Depthwise convs (``*_dw``) are weight-only
+    quantized; non-conv leaves pass through.
+    """
+    q = {}
+    for name, leaf in params.items():
+        if not (isinstance(leaf, dict) and "w" in leaf):
+            q[name] = jax.tree_util.tree_map(jnp.asarray, leaf)
+            continue
+        w = np.asarray(leaf["w"], dtype=np.float32)
+        b = jnp.asarray(np.asarray(leaf["b"], np.float32))
+        if name.endswith("_dw"):
+            scale = np.abs(w).max(axis=(0, 1, 2)) / 127.0
+            scale = np.maximum(scale, 1e-12)
+            wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+            q[name] = {
+                "wq": jnp.asarray(wq),
+                "w_scale": jnp.asarray(scale),
+                "b": b,
+            }
+            continue
+        cin = w.shape[2]
+        if act_amax is None:
+            a_scale = np.ones((cin,), np.float32)
+        else:
+            a_scale = np.asarray(act_amax[name], np.float32) / 127.0
+        a_scale = np.maximum(a_scale, 1e-12)
+        wf = w * a_scale[None, None, :, None]  # fold act scale into cin
+        w_scale = np.abs(wf).max(axis=(0, 1, 2)) / 127.0  # (cout,)
+        w_scale = np.maximum(w_scale, 1e-12)
+        wq = np.clip(np.round(wf / w_scale), -127, 127).astype(np.int8)
+        q[name] = {
+            "wq": jnp.asarray(wq),
+            "w_scale": jnp.asarray(w_scale),
+            "a_scale": jnp.asarray(a_scale),
+            "b": b,
+        }
+    return q
+
+
+def _qconv_folded(qp, x, stride=1, padding="SAME"):
+    """int8 conv with the per-channel act scale folded into the weights.
+
+    Same f32-accumulation rationale as :func:`_qconv`; the requant
+    multiplier is just ``w_scale`` because the activation scale is
+    already inside the quantized weights.
+    """
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (1.0 / qp["a_scale"])), -127, 127
+    ).astype(jnp.int8)
+    y = lax.conv_general_dilated(
+        xq,
+        qp["wq"],
+        (stride, stride),
+        padding,
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+    )
+    return (y * qp["w_scale"] + qp["b"]).astype(jnp.bfloat16)
+
+
+def _qconv_executor(qparams):
+    """The int8 conv executor for a family ``walk_feature_maps``.
+
+    Full/pointwise convs run W8A8 through :func:`_qconv_folded`.
+    Depthwise convs run weight-only quantized (W8, float activations):
+    they are VPU/bandwidth-bound stencils with no contraction dim, so an
+    int8 activation path buys no MXU throughput and would only add
+    quantize/requantize round trips — the dequantized int8 weights keep
+    the bundle small and the math within weight-quantization error.
+    """
+
+    def conv(name, x, *, stride=1, padding="SAME", depthwise=False):
+        qp = qparams[name]
+        if depthwise:
+            from ssd_tensorflow_tpu.models.layers import depthwise_conv2d
+
+            w = (qp["wq"].astype(jnp.float32) * qp["w_scale"]).astype(x.dtype)
+            return depthwise_conv2d(x, w, qp["b"].astype(x.dtype),
+                                    stride=stride)
+        return _qconv_folded(qp, x, stride=stride, padding=padding)
+
+    return conv
+
+
 def _feature_maps_q(qparams, act_scales, images, config: ModelConfig):
     """int8 backbone + extras -> the preset's multibox source maps."""
     preset = config.preset
+    fam = _family_module(config)
+    if fam is not None:
+        x = preprocess(images, config).astype(jnp.bfloat16)
+        return fam.walk_feature_maps(
+            qparams, x, preset, _qconv_executor(qparams)
+        )
     packed = (
         INT8_PACKED_STEM
         and config.packed_stem
@@ -221,6 +349,13 @@ def _feature_maps_q(qparams, act_scales, images, config: ModelConfig):
     return maps
 
 
+def _head_qconv(qparams, act_scales, name, fmap, config: ModelConfig):
+    """One multibox head conv on the right int8 path for the family."""
+    if _family_module(config) is not None:
+        return _qconv_folded(qparams[name], fmap)
+    return _qconv(qparams[name], fmap, act_scales[name], relu=False)
+
+
 def _forward(qparams, act_scales, images, config: ModelConfig):
     """Quantized forward -> (B, A, K+5) result tensor (softmax'd)."""
     preset = config.preset
@@ -229,7 +364,7 @@ def _forward(qparams, act_scales, images, config: ModelConfig):
     outs = []
     for i, (fmap, m) in enumerate(zip(maps, preset.maps)):
         name = f"classifier{i}"
-        y = _qconv(qparams[name], fmap, act_scales[name], relu=False)
+        y = _head_qconv(qparams, act_scales, name, fmap, config)
         b, h, w, _ = y.shape
         y = y.astype(jnp.float32).reshape(b, h * w, m.num_shapes, nv)
         y = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, m.num_shapes * h * w, nv)
@@ -257,6 +392,8 @@ def _forward_scores(qparams, act_scales, images, config: ModelConfig):
     maps = _feature_maps_q(qparams, act_scales, images, config)
     nv, nvp = config.num_vars, config.num_vars_padded
 
+    fam = _family_module(config)
+
     def head_conv(i, fmap):
         name = f"classifier{i}"
         qp = qparams[name]
@@ -266,12 +403,16 @@ def _forward_scores(qparams, act_scales, images, config: ModelConfig):
             # 1 (never read — the pad outputs are sliced away)
             ns = preset.maps[i].num_shapes
             wq, b = pad_head_vars(qp["wq"], qp["b"], ns, nv, nvp)
-            qp = {
-                "wq": wq,
-                "w_scale": pad_head_channels(qp["w_scale"], ns, nv, nvp, 1),
-                "b": b,
-            }
-        y = _qconv(qp, fmap, act_scales[name], relu=False)
+            qp = dict(
+                qp,  # keeps a_scale on the family path (cin unchanged)
+                wq=wq,
+                w_scale=pad_head_channels(qp["w_scale"], ns, nv, nvp, 1),
+                b=b,
+            )
+        if fam is not None:
+            y = _qconv_folded(qp, fmap)
+        else:
+            y = _qconv(qp, fmap, act_scales[name], relu=False)
         return y.astype(jnp.float32)
 
     return reduce_head_maps(head_conv, maps, preset, config)
@@ -336,6 +477,10 @@ def _calibrate_amps_jit(
         amp = jnp.max(a) if percentile >= 100 else jnp.percentile(a, percentile)
         scales[name] = amp
 
+    assert _family_module(config) is None, (
+        "family presets calibrate per-channel via calibrate_activation_amax"
+    )
+
     conv4_3 = None
     for name, _ in vgg16.VGG_CONV_LAYERS:
         record(name, x)
@@ -372,6 +517,69 @@ def _calibrate_amps_jit(
     return scales
 
 
+def calibrate_activation_amax(
+    params,
+    images,
+    config: ModelConfig,
+    percentile: float = 100.0,
+    batch_size: int = 8,
+) -> Dict:
+    """Per-INPUT-CHANNEL |x| maxima for every quantizable family conv.
+
+    The family analog of :func:`calibrate_activation_scales` (see the
+    per-channel rationale above :func:`quantize_weights_folded`): float
+    forwards over the calibration set recording each conv input's
+    per-channel amplitude, chunked so memory stays one small batch.
+    Returns ``{conv_name: (cin,) array}`` for
+    :func:`quantize_weights_folded`; depthwise convs are skipped
+    (weight-only quantized).
+    """
+    out = None
+    for off in range(0, images.shape[0], batch_size):
+        chunk = _calibrate_amax_family_jit(
+            params, images[off : off + batch_size], config, percentile
+        )
+        chunk = {k: np.asarray(v) for k, v in chunk.items()}
+        if out is None:
+            out = chunk
+        else:
+            out = {k: np.maximum(out[k], chunk[k]) for k in out}
+    return out
+
+
+@partial(jax.jit, static_argnames=("config", "percentile"))
+def _calibrate_amax_family_jit(
+    params, images, config: ModelConfig, percentile: float
+) -> Dict:
+    from ssd_tensorflow_tpu.models.layers import conv2d, depthwise_conv2d
+
+    fam = _family_module(config)
+    assert fam is not None, "VGG presets calibrate via _calibrate_amps_jit"
+    amax = {}
+
+    def record(name, x):
+        a = jnp.abs(x.astype(jnp.float32))
+        if percentile >= 100:
+            amax[name] = jnp.max(a, axis=tuple(range(a.ndim - 1)))
+        else:
+            amax[name] = jnp.percentile(
+                a.reshape(-1, a.shape[-1]), percentile, axis=0
+            )
+
+    def rec_conv(name, x, *, stride=1, padding="SAME", depthwise=False):
+        p = params[name]
+        if depthwise:
+            return depthwise_conv2d(x, p["w"], p["b"], stride=stride)
+        record(name, x)
+        return conv2d(x, p["w"], p["b"], stride=stride, padding=padding)
+
+    x = preprocess(images, config).astype(jnp.float32)
+    maps = fam.walk_feature_maps(params, x, config.preset, rec_conv)
+    for i, fmap in enumerate(maps):
+        record(f"classifier{i}", fmap)
+    return amax
+
+
 class QuantizedModel:
     """Post-training-quantized deployable model."""
 
@@ -379,17 +587,20 @@ class QuantizedModel:
         self, params, config: ModelConfig, calibration_images,
         percentile: float = 100.0,
     ):
-        if config.preset.backbone != "vgg":
-            raise NotImplementedError(
-                "the int8 deploy path walks the VGG layer structure; "
-                f"preset {config.preset_name!r} uses backbone "
-                f"{config.preset.backbone!r} (export it unquantized)"
-            )
         self.config = config
-        self.qparams = quantize_weights(params)
-        self.act_scales = calibrate_activation_scales(
-            params, calibration_images, config, percentile=percentile
-        )
+        if _family_module(config) is not None:
+            amax = calibrate_activation_amax(
+                params, calibration_images, config, percentile=percentile
+            )
+            self.qparams = quantize_weights_folded(params, amax)
+            # per-channel scales live inside qparams; the (non-None)
+            # empty dict marks the bundle int8 (inference.save_bundle)
+            self.act_scales = {}
+        else:
+            self.qparams = quantize_weights(params)
+            self.act_scales = calibrate_activation_scales(
+                params, calibration_images, config, percentile=percentile
+            )
 
         def fwd(qp, images):
             return _forward(qp, self.act_scales, images, config)

@@ -34,7 +34,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ssd_tensorflow_tpu.models.layers import conv2d, init_conv, max_pool
+from ssd_tensorflow_tpu.models.layers import (
+    float_conv_executor,
+    init_conv,
+    max_pool,
+)
 from ssd_tensorflow_tpu.presets import SSDPreset
 
 #: ResNet-34 stage layout: (num_blocks, channels, first-block stride).
@@ -141,19 +145,15 @@ def init_resnet_params(key, preset: SSDPreset, dtype=jnp.float32):
     return params
 
 
-def _block(params, name, x, stride, f32_out):
+def _block(params, name, x, stride, conv):
     """Basic residual block: conv-GN-relu-conv-GN + skip, then relu."""
-    y = conv2d(x, params[f"{name}_conv1"]["w"], params[f"{name}_conv1"]["b"],
-               stride=stride, f32_out=f32_out)
+    y = conv(f"{name}_conv1", x, stride=stride)
     y = jax.nn.relu(group_norm(y, params[f"{name}_gn1"]))
-    y = conv2d(y, params[f"{name}_conv2"]["w"], params[f"{name}_conv2"]["b"],
-               f32_out=f32_out)
+    y = conv(f"{name}_conv2", y)
     y = group_norm(y, params[f"{name}_gn2"])
     if f"{name}_proj" in params:
-        skip = conv2d(x, params[f"{name}_proj"]["w"],
-                      params[f"{name}_proj"]["b"], stride=stride,
-                      f32_out=f32_out)
-        skip = group_norm(skip, params[f"{name}_proj_gn"])
+        skip = group_norm(conv(f"{name}_proj", x, stride=stride),
+                          params[f"{name}_proj_gn"])
     elif stride != 1:
         skip = x[:, ::stride, ::stride, :]
     else:
@@ -161,10 +161,15 @@ def _block(params, name, x, stride, f32_out):
     return jax.nn.relu(y + skip)
 
 
-def apply_feature_maps(params, x, preset: SSDPreset, f32_out=False):
-    """Preprocessed images -> the preset's multibox source maps."""
-    x = conv2d(x, params["stem_conv"]["w"], params["stem_conv"]["b"],
-               stride=2, f32_out=f32_out)
+def walk_feature_maps(params, x, preset: SSDPreset, conv):
+    """The family's feature-map walk over an injectable conv executor
+    ``conv(name, x, *, stride=1, padding="SAME") -> y`` (conv + bias
+    only). GroupNorms, activations and skip connections run here, in
+    the executor's output dtype — so the float path
+    (layers.float_conv_executor), the int8 deploy path and its
+    calibration pass (models/quantized.py) share one structure by
+    construction."""
+    x = conv("stem_conv", x, stride=2)
     x = jax.nn.relu(group_norm(x, params["stem_gn"]))
     x = max_pool(x, 3, 2)
 
@@ -172,15 +177,12 @@ def apply_feature_maps(params, x, preset: SSDPreset, f32_out=False):
     for si, (blocks, _, stride) in enumerate(STAGES):
         for bi in range(blocks):
             x = _block(params, f"s{si}b{bi}", x, stride if bi == 0 else 1,
-                       f32_out)
+                       conv)
         if si >= 1:  # layer2/3/4 outputs are the trunk taps
             maps.append(x)
 
     for name, _, _, stride, padding in extra_layer_defs(preset):
-        x = jax.nn.relu(
-            conv2d(x, params[name]["w"], params[name]["b"], stride=stride,
-                   padding=padding, f32_out=f32_out)
-        )
+        x = jax.nn.relu(conv(name, x, stride=stride, padding=padding))
         if name.endswith("_2"):
             maps.append(x)
 
@@ -188,6 +190,13 @@ def apply_feature_maps(params, x, preset: SSDPreset, f32_out=False):
     for m, pm in zip(maps, preset.maps):
         assert m.shape[1:3] == (pm.size.h, pm.size.w), (m.shape, pm.size)
     return maps
+
+
+def apply_feature_maps(params, x, preset: SSDPreset, f32_out=False):
+    """Preprocessed images -> the preset's multibox source maps."""
+    return walk_feature_maps(
+        params, x, preset, float_conv_executor(params, f32_out)
+    )
 
 
 #: uniform family-dispatch name (models/ssd_vgg._backbone_module)

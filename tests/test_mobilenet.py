@@ -238,11 +238,8 @@ class TestFamilyGates:
             ModelConfig(preset_name="mntest64", num_classes=K,
                         pallas_stem=True, compute_dtype="bfloat16")
 
-    def test_int8_deploy_refused(self, cfg, params, images):
-        from ssd_tensorflow_tpu.models.quantized import QuantizedModel
-
-        with pytest.raises(NotImplementedError, match="VGG layer structure"):
-            QuantizedModel(params, cfg, np.asarray(images, np.float32))
+    # int8 PTQ deploys for this family since round 4 — positive
+    # coverage lives in tests/test_quantized_families.py
 
     def test_qat_refused(self, cfg):
         from ssd_tensorflow_tpu.models.qat import make_qat_forward

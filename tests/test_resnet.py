@@ -216,11 +216,8 @@ class TestFamilyGates:
             ModelConfig(preset_name="rtest64", num_classes=K,
                         pallas_stem=True, compute_dtype="bfloat16")
 
-    def test_int8_deploy_refused(self, cfg, params, images):
-        from ssd_tensorflow_tpu.models.quantized import QuantizedModel
-
-        with pytest.raises(NotImplementedError, match="VGG layer structure"):
-            QuantizedModel(params, cfg, np.asarray(images, np.float32))
+    # int8 PTQ deploys for this family since round 4 — positive
+    # coverage lives in tests/test_quantized_families.py
 
     def test_qat_refused(self, cfg):
         from ssd_tensorflow_tpu.models.qat import make_qat_forward
@@ -311,7 +308,7 @@ def test_resnet_cli_chain(tmp_path):
     assert rc == 0
     assert len([f for f in os.listdir(out_dir) if f.endswith(".jpg")]) == 2
 
-    # export (unquantized — int8 is VGG-only) + standalone detect
+    # export (float and int8) + standalone detect from both bundles
     from ssd_tensorflow_tpu.cli.detect import main as detect_main
     from ssd_tensorflow_tpu.cli.export_model import main as export_main
 
@@ -337,3 +334,28 @@ def test_resnet_cli_chain(tmp_path):
     base = os.path.basename(samples[6].filename)
     assert os.path.exists(os.path.join(det_dir, base))
     assert os.path.exists(os.path.join(det_dir, base + ".txt"))
+
+    # family int8 deploy through the same CLIs (per-channel folded
+    # scales, models/quantized.quantize_weights_folded)
+    qbundle = str(tmp_path / "model.int8.npz")
+    rc = export_main(
+        [
+            "--checkpoint-file", os.path.join(name, "final.ckpt.npz"),
+            "--output-file", qbundle,
+            "--quantize",
+            "--calibration-images", *[s.filename for s in samples[:4]],
+        ]
+    )
+    assert rc == 0
+    qdet_dir = str(tmp_path / "qdet")
+    rc = detect_main(
+        [
+            samples[6].filename,
+            "--model", qbundle,
+            "--output-dir", qdet_dir,
+            "--batch-size", "2",
+            "--threshold", "0.01",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(qdet_dir, base + ".txt"))
