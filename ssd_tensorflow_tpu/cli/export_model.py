@@ -77,11 +77,27 @@ def main(argv=None):
         # a QAT checkpoint carries the activation scales it was trained
         # against — deploying with those exact scales is the QAT
         # contract; recalibrating would deploy a quantizer the finetune
-        # never saw
-        qat_scales = checkpoint_config(args.checkpoint_file).get(
-            "qat_act_scales"
-        )
-        if qat_scales is not None:
+        # never saw. VGG checkpoints carry per-layer scales
+        # (qat_act_scales); the GN families carry per-input-channel
+        # amax grids (qat_act_amax) that fold into the weights.
+        ckpt_cfg = checkpoint_config(args.checkpoint_file)
+        qat_scales = ckpt_cfg.get("qat_act_scales")
+        qat_amax = ckpt_cfg.get("qat_act_amax")
+        if qat_amax is not None:
+            from ssd_tensorflow_tpu.models.quantized import (
+                quantize_weights_folded,
+            )
+
+            print("[i] QAT checkpoint: exporting with the trained "
+                  "per-channel activation grids (no recalibration)")
+            amax = {
+                k: np.asarray(v, np.float32) for k, v in qat_amax.items()
+            }
+            save_bundle(
+                args.output_file, quantize_weights_folded(params, amax),
+                model_cfg, lid2name, act_scales={},
+            )
+        elif qat_scales is not None:
             from ssd_tensorflow_tpu.models.quantized import quantize_weights
 
             print("[i] QAT checkpoint: exporting with the trained "

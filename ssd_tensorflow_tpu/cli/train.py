@@ -354,17 +354,15 @@ def main(argv=None):
     if args.qat:
         from ssd_tensorflow_tpu.models.qat import make_qat_train_step
         from ssd_tensorflow_tpu.models.quantized import (
+            calibrate_activation_amax,
             calibrate_activation_scales,
         )
 
-        if model_cfg.preset.backbone != "vgg":
-            print(
-                "[!] --qat mirrors the VGG int8 deploy structure; the "
-                f"{model_cfg.preset.backbone} family deploys through "
-                "per-channel PTQ (export_model.py --quantize), which "
-                "needs no finetune"
-            )
-            return 1
+        # the GN families train against per-input-channel amax grids
+        # (the quantize_weights_folded quantizer); VGG against per-layer
+        # scales — different checkpoint keys because the units differ
+        qat_family = model_cfg.preset.backbone != "vgg"
+        qat_key = "qat_act_amax" if qat_family else "qat_act_scales"
 
         saved_scales = None
         if checkpoint_file is not None:
@@ -373,14 +371,14 @@ def main(argv=None):
                     stored_config,
                 )
 
-                saved_scales = stored_config(args.name).get("qat_act_scales")
+                saved_scales = stored_config(args.name).get(qat_key)
             else:
                 from ssd_tensorflow_tpu.utils.checkpoint import (
                     checkpoint_config,
                 )
 
                 saved_scales = checkpoint_config(checkpoint_file).get(
-                    "qat_act_scales"
+                    qat_key
                 )
         if saved_scales is not None:
             # resume: keep training against the SAME quantizer the
@@ -412,16 +410,28 @@ def main(argv=None):
             calib = np.concatenate(calib)[:32]
             print(f"[i] QAT: calibrating int8 scales on "
                   f"{calib.shape[0]} images")
-            act_scales = calibrate_activation_scales(
-                state.params, calib, model_cfg
-            )
+            if qat_family:
+                act_scales = calibrate_activation_amax(
+                    state.params, calib, model_cfg
+                )
+            else:
+                act_scales = calibrate_activation_scales(
+                    state.params, calib, model_cfg
+                )
         # persist the scales: "deploy with the SAME scales QAT trained
         # against" only works if checkpoints carry them
         # (export_model.py --quantize picks them up instead of
-        # recalibrating)
-        config_dict["qat_act_scales"] = {
-            k: float(v) for k, v in act_scales.items()
-        }
+        # recalibrating). Family amax grids are per-input-channel
+        # vectors; the config is JSON, so they store as lists.
+        if qat_family:
+            config_dict[qat_key] = {
+                k: np.asarray(v, np.float32).tolist()
+                for k, v in act_scales.items()
+            }
+        else:
+            config_dict[qat_key] = {
+                k: float(v) for k, v in act_scales.items()
+            }
         from ssd_tensorflow_tpu.models.qat import make_qat_forward
 
         qat_fwd = make_qat_forward(model_cfg, act_scales)

@@ -9,7 +9,9 @@ differentiable fake-quantization with straight-through-estimator (STE)
 gradients, so SGD moves the weights to minima that survive int8.
 
 Usage: take a float checkpoint, calibrate activation scales once
-(models/quantized.calibrate_activation_scales), finetune a few epochs
+(models/quantized.calibrate_activation_scales for VGG;
+calibrate_activation_amax — per input channel — for the GN families),
+finetune a few epochs
 with :func:`make_qat_train_step`, then export with the SAME scales —
 the deployed int8 network then computes (up to int32-vs-f32 accumulator
 rounding) exactly what training optimized. Demo: tools/qat_finetune.py.
@@ -148,16 +150,117 @@ def qat_apply_model(params, images, config: ModelConfig, act_scales):
     return logits, locs
 
 
+def _fq_conv_folded(p, x, a_scale, stride=1, padding="SAME"):
+    """Float twin of the family int8 deploy conv (quantized._qconv_folded).
+
+    Per-input-channel activation fake-quant on the grid ``a_scale``
+    (shape ``(cin,)``), the same scale folded into the float weights
+    along cin, per-output-channel weight fake-quant on the *folded*
+    weights, then unfolded — so the forward computes
+    ``conv(round(x/a)·a, (round(w·a/s)·s)/a) + b``, which is exactly the
+    deployed program ``conv(round(x/a), wq)·s + b`` up to accumulator
+    rounding. Gradients: clipped STE through the activation quantizer,
+    identity STE through the weight quantizer (the fold is linear in
+    ``w``; ``a`` is static).
+    """
+    a = a_scale
+    xq = fake_quant_act(x.astype(jnp.float32), a)  # broadcasts over cin
+    wf = p["w"].astype(jnp.float32) * a[None, None, :, None]
+    s = jnp.max(jnp.abs(wf), axis=(0, 1, 2), keepdims=True) / 127.0
+    s = jnp.maximum(lax.stop_gradient(s), 1e-12)
+    wq = _ste(wf, jnp.clip(jnp.round(wf / s), -127, 127) * s)
+    y = lax.conv_general_dilated(
+        xq,
+        wq / a[None, None, :, None],
+        (stride, stride),
+        padding,
+        dimension_numbers=_DIMNUMS,
+    )
+    return y + p["b"].astype(jnp.float32)
+
+
+def _fq_family_executor(params, a_scales):
+    """Conv executor for a family ``walk_feature_maps``: the fake-quant
+    twin of quantized._qconv_executor. Full/pointwise convs run through
+    :func:`_fq_conv_folded`; depthwise stencils are weight-only
+    fake-quantized (the deploy path dequantizes their int8 weights and
+    convolves in float — no activation quantizer to train through)."""
+    from ssd_tensorflow_tpu.models.layers import depthwise_conv2d
+
+    def conv(name, x, *, stride=1, padding="SAME", depthwise=False):
+        p = params[name]
+        if depthwise:
+            w = fake_quant_weight(p["w"].astype(jnp.float32))
+            return depthwise_conv2d(
+                x, w, p["b"].astype(jnp.float32), stride=stride
+            )
+        return _fq_conv_folded(
+            p, x, a_scales[name], stride=stride, padding=padding
+        )
+
+    return conv
+
+
+def qat_apply_model_family(params, images, config: ModelConfig, a_scales):
+    """Fake-quantized forward for the GN families -> ``(logits, locs)``.
+
+    Mirrors the family branch of quantized._feature_maps_q/_forward
+    layer for layer — GroupNorms and activations run in float between
+    fake-quantized convs inside the family's own ``walk_feature_maps``,
+    heads go through the same folded per-channel quantizer — so what QAT
+    optimizes is what the int8 deploy path computes. ``a_scales`` maps
+    quantized conv names to per-input-channel scales (amax/127, the
+    quantize_weights_folded grid).
+    """
+    from ssd_tensorflow_tpu.models.ssd_vgg import _backbone_module
+
+    fam = _backbone_module(config.preset)
+    assert fam is not None, "VGG presets use qat_apply_model"
+    preset = config.preset
+    x = preprocess(images, config).astype(jnp.float32)
+    maps = fam.walk_feature_maps(
+        params, x, preset, _fq_family_executor(params, a_scales)
+    )
+
+    nv = config.num_vars
+    outs = []
+    for i, (fmap, m) in enumerate(zip(maps, preset.maps)):
+        name = f"classifier{i}"
+        y = _fq_conv_folded(params[name], fmap, a_scales[name])
+        b, h, w, _ = y.shape
+        y = y.reshape(b, h * w, m.num_shapes, nv)
+        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, m.num_shapes * h * w, nv)
+        outs.append(y)
+    out = jnp.concatenate(outs, axis=1)
+    logits = out[:, :, : config.num_classes + 1]
+    locs = out[:, :, config.num_classes + 1 :]
+    return logits, locs
+
+
 def make_qat_forward(model_cfg: ModelConfig, act_scales):
     """The fake-quant forward ``(params, images) -> (logits, locs)`` as a
     closure over static scales — pluggable into make_train_step /
-    make_eval_step via their ``forward`` parameter."""
+    make_eval_step via their ``forward`` parameter.
+
+    For VGG presets ``act_scales`` is the per-layer scale dict from
+    quantized.calibrate_activation_scales; for the GN families it is the
+    per-input-channel amax dict from quantized.calibrate_activation_amax
+    (checkpoint key ``qat_act_amax``; JSON lists round-trip fine).
+    """
     if model_cfg.preset.backbone != "vgg":
-        raise NotImplementedError(
-            "QAT mirrors the VGG int8 deploy structure; preset "
-            f"{model_cfg.preset_name!r} uses backbone "
-            f"{model_cfg.preset.backbone!r}"
-        )
+        import numpy as np
+
+        a_scales = {
+            k: jnp.maximum(
+                jnp.asarray(np.asarray(v, np.float32)) / 127.0, 1e-12
+            )
+            for k, v in act_scales.items()
+        }
+
+        def family_forward(p, x):
+            return qat_apply_model_family(p, x, model_cfg, a_scales)
+
+        return family_forward
     if model_cfg.l2_norm_eps < 1e-6:
         raise ValueError(
             "QAT requires ModelConfig.l2_norm_eps >= 1e-6 (got "

@@ -241,26 +241,13 @@ class TestFamilyGates:
     # int8 PTQ deploys for this family since round 4 — positive
     # coverage lives in tests/test_quantized_families.py
 
-    def test_qat_refused(self, cfg):
-        from ssd_tensorflow_tpu.models.qat import make_qat_forward
-
-        with pytest.raises(NotImplementedError, match="VGG"):
-            make_qat_forward(
-                dataclasses.replace(cfg, l2_norm_eps=1e-3), {}
-            )
+    # QAT covers this family since round 4 (per-channel folded
+    # quantizer) — positive coverage lives in
+    # tests/test_qat.py::TestFamilyQAT
 
 
-@pytest.mark.e2e
-@pytest.mark.slow
-def test_mobilenet_cli_chain(tmp_path):
-    """train -> infer -> export -> detect with --preset mntest64 through
-    the real CLIs: the third model family rides the unchanged artifact
-    chain."""
-    cv2 = pytest.importorskip("cv2")
-    from ssd_tensorflow_tpu.cli.detect import main as detect_main
-    from ssd_tensorflow_tpu.cli.export_model import main as export_main
-    from ssd_tensorflow_tpu.cli.infer import main as infer_main
-    from ssd_tensorflow_tpu.cli.train import main as train_main
+def _make_tiny_dataset(tmp_path, cv2):
+    """8 synthetic bright-square images + an mntest64 training-data dir."""
     from ssd_tensorflow_tpu.types import Box, Point, Sample, Size
 
     img_dir = tmp_path / "images"
@@ -300,6 +287,22 @@ def test_mobilenet_cli_chain(tmp_path):
             },
             f,
         )
+    return data_dir, samples
+
+
+@pytest.mark.e2e
+@pytest.mark.slow
+def test_mobilenet_cli_chain(tmp_path):
+    """train -> infer -> export -> detect with --preset mntest64 through
+    the real CLIs: the third model family rides the unchanged artifact
+    chain."""
+    cv2 = pytest.importorskip("cv2")
+    from ssd_tensorflow_tpu.cli.detect import main as detect_main
+    from ssd_tensorflow_tpu.cli.export_model import main as export_main
+    from ssd_tensorflow_tpu.cli.infer import main as infer_main
+    from ssd_tensorflow_tpu.cli.train import main as train_main
+
+    data_dir, samples = _make_tiny_dataset(tmp_path, cv2)
 
     name = str(tmp_path / "proj")
     rc = train_main(
@@ -355,3 +358,74 @@ def test_mobilenet_cli_chain(tmp_path):
     base = os.path.basename(samples[6].filename)
     assert os.path.exists(os.path.join(det_dir, base))
     assert os.path.exists(os.path.join(det_dir, base + ".txt"))
+
+
+@pytest.mark.e2e
+@pytest.mark.slow
+def test_mobilenet_qat_chain(tmp_path):
+    """Family QAT through the real CLIs: train --qat calibrates
+    per-input-channel amax grids, checkpoints carry them under
+    qat_act_amax, resume keeps them, and export --quantize deploys those
+    exact grids through quantize_weights_folded (no recalibration)."""
+    cv2 = pytest.importorskip("cv2")
+    from ssd_tensorflow_tpu.cli.export_model import main as export_main
+    from ssd_tensorflow_tpu.cli.train import main as train_main
+    from ssd_tensorflow_tpu.inference import (
+        InferenceModel,
+        load_bundle,
+        load_params_from_train_checkpoint,
+    )
+    from ssd_tensorflow_tpu.utils.checkpoint import checkpoint_config
+
+    data_dir, samples = _make_tiny_dataset(tmp_path, cv2)
+    name = str(tmp_path / "proj-qat")
+    common = [
+        "--name", name,
+        "--data-dir", str(data_dir),
+        "--batch-size", "4",
+        "--tensorboard-dir", str(tmp_path / "tb-qat"),
+        "--num-workers", "0",
+        "--compute-dtype", "float32",
+        "--qat", "yes",
+    ]
+    rc = train_main(common + ["--epochs", "2", "--checkpoint-interval", "2"])
+    assert rc == 0
+    ckpt = os.path.join(name, "final.ckpt.npz")
+
+    # per-input-channel grids, stored as JSON lists keyed by conv name
+    amax = checkpoint_config(ckpt).get("qat_act_amax")
+    assert amax and "classifier0" in amax
+    assert checkpoint_config(ckpt).get("qat_act_scales") is None
+    assert not any(k.endswith("_dw") for k in amax)
+    params, _, _ = load_params_from_train_checkpoint(ckpt)
+    assert len(amax["stem_conv"]) == np.asarray(
+        params["stem_conv"]["w"]
+    ).shape[2]
+
+    # --quantize deploys the trained grids without calibration images
+    bundle = str(tmp_path / "qat-int8.ssdtpu.npz")
+    rc = export_main(
+        ["--checkpoint-file", ckpt, "--output-file", bundle, "--quantize"]
+    )
+    assert rc == 0
+    qp, cfg2, _, act_scales = load_bundle(bundle)
+    assert act_scales == {} and cfg2.preset_name == "mntest64"
+    # the deployed int8 grid IS the trained one: a_scale == amax/127
+    got = np.asarray(qp["stem_conv"]["a_scale"])
+    want = np.maximum(np.asarray(amax["stem_conv"], np.float32) / 127.0,
+                      1e-12)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    model = InferenceModel.from_bundle(bundle)
+    imgs, _ = model.preprocess_files([s.filename for s in samples[6:]])
+    result, _ = model.run(imgs)
+    r = np.asarray(result)
+    assert r.shape[0] == 2 and np.isfinite(r).all()
+
+    # resume trains against the SAME quantizer (no recalibration drift)
+    rc = train_main(
+        common + ["--epochs", "3", "--checkpoint-interval", "3",
+                  "--continue-training", "yes"]
+    )
+    assert rc == 0
+    resumed = checkpoint_config(os.path.join(name, "final.ckpt.npz"))
+    assert resumed.get("qat_act_amax") == amax

@@ -4,17 +4,21 @@ train step actually learns through the quantizer."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ssd_tensorflow_tpu.models.qat import (
     fake_quant_act,
     fake_quant_weight,
+    make_qat_forward,
     make_qat_train_step,
     qat_apply_model,
 )
 from ssd_tensorflow_tpu.models.quantized import (
     _forward,
+    calibrate_activation_amax,
     calibrate_activation_scales,
     quantize_weights,
+    quantize_weights_folded,
 )
 from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, init_params
 from ssd_tensorflow_tpu.ops.anchors import anchors_for_preset
@@ -139,3 +143,120 @@ class TestQATTraining:
         last = float(losses["total"])
         assert np.isfinite(last)
         assert last < 0.7 * first, (first, last)
+
+
+FAMILY_PRESETS = ["rtest64", "mntest64"]
+
+
+def setup_family(preset_name, rng, n_images=2):
+    cfg = ModelConfig(
+        preset_name=preset_name, num_classes=3, compute_dtype="float32"
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    images = jnp.asarray(
+        rng.integers(0, 256, (n_images, 64, 64, 3), dtype=np.uint8)
+    )
+    amax = calibrate_activation_amax(params, np.asarray(images), cfg)
+    return cfg, params, images, amax
+
+
+class TestFamilyQAT:
+    """QAT for the GN families trains through the folded per-channel
+    quantizer the int8 deploy path uses (quantize_weights_folded)."""
+
+    # the deploy walk runs bf16 between int8 convs while the QAT twin is
+    # f32, so the agreement floor includes bf16 noise — same floors as
+    # tests/test_quantized_families.TestFamilyQuantizedForward
+    AGREE = {"rtest64": 0.98, "mntest64": 0.95}
+
+    @pytest.mark.parametrize("preset_name", FAMILY_PRESETS)
+    def test_matches_int8_deploy_path(self, preset_name, rng):
+        cfg, params, images, amax = setup_family(preset_name, rng)
+        fwd = make_qat_forward(cfg, amax)
+        logits, locs = jax.jit(fwd)(params, images)
+        probs = jax.nn.softmax(logits, axis=-1)
+
+        qp = quantize_weights_folded(params, amax)
+        ref = np.asarray(_forward(qp, {}, images, cfg), np.float32)
+        K = cfg.num_classes
+        ref_probs, ref_locs = ref[..., : K + 1], ref[..., K + 1 :]
+
+        agree = (
+            np.asarray(jnp.argmax(probs, -1)) == ref_probs.argmax(-1)
+        ).mean()
+        assert agree > self.AGREE[preset_name], f"argmax agreement {agree}"
+        prob_err = np.abs(np.asarray(probs) - ref_probs).mean()
+        assert prob_err < 0.02, f"probability MAE {prob_err}"
+        loc_err = np.abs(np.asarray(locs) - ref_locs).mean()
+        assert loc_err < 0.5, f"location MAE {loc_err}"
+
+    @pytest.mark.parametrize("preset_name", FAMILY_PRESETS)
+    def test_gradients_flow_to_every_conv(self, preset_name, rng):
+        """Every conv (full, pointwise, depthwise, head) and every
+        GroupNorm leaf gets a finite nonzero gradient through the
+        quantizers."""
+        cfg, params, images, amax = setup_family(preset_name, rng)
+        # resnet zero-initializes each block's gn2 scale (identity
+        # residual), which legitimately zeroes the residual branch's
+        # conv grads at init — in the float path too. Nudge those so
+        # this test sees the quantizers, not the init scheme.
+        for name, leaf in params.items():
+            if isinstance(leaf, dict) and "scale" in leaf:
+                s = np.asarray(leaf["scale"])
+                if not np.any(s):
+                    leaf["scale"] = jnp.full_like(leaf["scale"], 0.5)
+        fwd = make_qat_forward(cfg, amax)
+
+        def loss(p):
+            logits, locs = fwd(p, images)
+            return (logits**2).mean() + (locs**2).mean()
+
+        g = jax.jit(jax.grad(loss))(params)
+        saw_dw = False
+        for name, leaf in g.items():
+            if not isinstance(leaf, dict):
+                continue
+            for k, arr in leaf.items():
+                arr = np.asarray(arr)
+                assert np.isfinite(arr).all(), (name, k)
+            if "w" in leaf:
+                saw_dw = saw_dw or name.endswith("_dw")
+                assert np.abs(np.asarray(leaf["w"])).max() > 0, name
+        assert saw_dw == (preset_name == "mntest64")
+
+    def test_family_train_step_learns(self, rng):
+        from ssd_tensorflow_tpu.parallel.train_step import (
+            TrainConfig,
+            make_train_state,
+        )
+
+        cfg, params, images, amax = setup_family("mntest64", rng)
+        images = jnp.concatenate([images, images])
+        tcfg = TrainConfig(
+            model=cfg,
+            lr_values=(0.001,),
+            lr_boundaries=(),
+            weight_decay=0.0,
+            detect=None,
+        )
+        anchors = anchors_for_preset(get_preset_by_name("mntest64"))
+        step = make_qat_train_step(tcfg, anchors, amax, donate=False)
+        state = make_train_state(params, tcfg)
+        batch = {
+            "images": images,
+            "gt_boxes": jnp.asarray(
+                np.tile(
+                    [[0.375, 0.375, 0.4, 0.4]], (4, 2, 1)
+                ).astype(np.float32)
+            ),
+            "gt_labels": jnp.ones((4, 2), jnp.int32),
+            "gt_mask": jnp.ones((4, 2), bool),
+        }
+        first = None
+        for _ in range(25):
+            state, losses, _ = step(state, batch)
+            if first is None:
+                first = float(losses["total"])
+        last = float(losses["total"])
+        assert np.isfinite(last)
+        assert last < 0.8 * first, (first, last)

@@ -219,13 +219,9 @@ class TestFamilyGates:
     # int8 PTQ deploys for this family since round 4 — positive
     # coverage lives in tests/test_quantized_families.py
 
-    def test_qat_refused(self, cfg):
-        from ssd_tensorflow_tpu.models.qat import make_qat_forward
-
-        with pytest.raises(NotImplementedError, match="VGG"):
-            make_qat_forward(
-                dataclasses.replace(cfg, l2_norm_eps=1e-3), {}
-            )
+    # QAT covers this family since round 4 (per-channel folded
+    # quantizer) — positive coverage lives in
+    # tests/test_qat.py::TestFamilyQAT
 
 
 @pytest.mark.e2e

@@ -68,8 +68,10 @@ def main(argv=None):
     from ssd_tensorflow_tpu.models.qat import make_qat_train_step
     from ssd_tensorflow_tpu.models.quantized import (
         _forward,
+        calibrate_activation_amax,
         calibrate_activation_scales,
         quantize_weights,
+        quantize_weights_folded,
     )
     from ssd_tensorflow_tpu.models.ssd_vgg import (
         ModelConfig,
@@ -129,14 +131,26 @@ def main(argv=None):
             break
     calib = jnp.asarray(np.concatenate(calib)[: args.calib_images])
     print(f"[i] Calibrating on {calib.shape[0]} images...")
-    scales = calibrate_activation_scales(state.params, calib, model_cfg)
+    # the GN families quantize through per-input-channel amax grids
+    # folded into the weights (models/quantized.quantize_weights_folded);
+    # VGG through per-layer scales — mirror the train.py --qat split
+    family = model_cfg.preset.backbone != "vgg"
+    if family:
+        scales = calibrate_activation_amax(state.params, calib, model_cfg)
+
+        def deploy_int8(p):
+            qp = quantize_weights_folded(p, scales)
+            return jax.jit(lambda x: _forward(qp, {}, x, model_cfg))
+    else:
+        scales = calibrate_activation_scales(state.params, calib, model_cfg)
+
+        def deploy_int8(p):
+            qp = quantize_weights(p)
+            return jax.jit(lambda x: _forward(qp, scales, x, model_cfg))
 
     # -- baselines ------------------------------------------------------
     float_fn = jax.jit(lambda x: apply_result(state.params, x, model_cfg))
-    base_params = state.params
-    ptq_fn = jax.jit(
-        lambda x: _forward(quantize_weights(base_params), scales, x, model_cfg)
-    )
+    ptq_fn = deploy_int8(state.params)
     m_float = evaluate(float_fn, td, anchors, args.batch_size)
     m_ptq = evaluate(ptq_fn, td, anchors, args.batch_size)
     print(f"[i] valid mAP  float: {m_float:.4f}   PTQ int8: {m_ptq:.4f}")
@@ -160,10 +174,7 @@ def main(argv=None):
         print(f"[i] QAT epoch {e + 1}/{args.epochs}: loss {mean:.4f}")
 
     # -- QAT int8 evaluation (same deploy pipeline, same scales) --------
-    qat_params = state.params
-    qat_fn = jax.jit(
-        lambda x: _forward(quantize_weights(qat_params), scales, x, model_cfg)
-    )
+    qat_fn = deploy_int8(state.params)
     m_qat = evaluate(qat_fn, td, anchors, args.batch_size)
     print(
         f"[i] valid mAP  float: {m_float:.4f}   PTQ int8: {m_ptq:.4f}   "
@@ -185,7 +196,16 @@ def main(argv=None):
                 "lid2name", {str(k): v for k, v in td.lid2name.items()}
             ),
             qat=True,
-            qat_act_scales={k: float(v) for k, v in scales.items()},
+            **(
+                {"qat_act_amax": {
+                    k: np.asarray(v, np.float32).tolist()
+                    for k, v in scales.items()
+                }}
+                if family
+                else {"qat_act_scales": {
+                    k: float(v) for k, v in scales.items()
+                }}
+            ),
         )
         mgr = CheckpointManager(args.output, out_cfg)
         path = mgr.save(args.epochs, state, final=True)
