@@ -1,0 +1,123 @@
+#!/bin/bash
+# Round-5 mobilenet320 plateau run (VERDICT r4 items 2 + 3).
+#
+# Round 4 stopped mobilenet320 at epoch 250 with the valid-mAP curve
+# still climbing (0.57@e200 -> 0.62@e250). This driver trains the same
+# recipe from scratch (the VM rebuild wiped gitignored runs/; the data
+# is the deterministic miniVOC-1500, same make_minivoc seed) to epoch
+# 350 with ONE piecewise LR drop at epoch ~300 (47 steps/epoch x 300 =
+# 14100 steps; 7.5e-4 -> 1e-4), matching the reference's
+# piecewise-constant schedule philosophy (reference train.py:43-47,63-76).
+# Plateau bar from the verdict: valid mAP gains < 1 pt per 50 epochs.
+#
+# Same restart-resume leak mitigation as tools/train_v512_segmented.sh
+# (the tunnel client retains every H2D transfer; CLAUDE.md).
+#
+# After training, the post sequence produces the family QAT evidence
+# the round-4 verdict asked for (item 3):
+#   1. float held-out test eval of the final checkpoint
+#   2. PTQ int8 export (per-input-channel folded amax, 64 real
+#      calibration images) + test eval
+#   3. 30-epoch QAT finetune (tools/qat_finetune.py, family
+#      qat_act_amax path) + export via the stored-scales contract
+#      (cli/export_model.py:86-99) + test eval
+# giving the float / PTQ / QAT three-way table on a trained checkpoint.
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+
+TARGET=350
+SEGMENT=80
+DATA=runs/minivoc1500_mn320
+NAME=runs/mn320
+SEGLOG=runs/mn320_segments.log
+LOG=runs/mn320.log
+# LR drop at step 14100 = epoch 300 at 47 steps/epoch (1500 imgs / b32)
+LRV="0.00075;0.0001"
+LRB="14100"
+
+reached() {
+  python - <<'EOF'
+import sys
+sys.path.insert(0, "/root/repo")
+from ssd_tensorflow_tpu.utils.checkpoint import find_checkpoint
+path, epoch = find_checkpoint("runs/mn320")
+print(epoch if epoch is not None else 0)
+EOF
+}
+
+echo "[seg] start $(date -u +%H:%M:%S)" > "$SEGLOG"
+while true; do
+  E=$(reached)
+  echo "[seg] reached epoch $E / $TARGET" >> "$SEGLOG"
+  if [ "$E" -ge "$TARGET" ]; then break; fi
+  CONT="--continue-training yes"
+  if [ "$E" -eq 0 ]; then CONT=""; fi
+  python train.py --name "$NAME" --data-dir "$DATA" \
+    --batch-size 32 --epochs $TARGET --epochs-per-run $SEGMENT \
+    --lr-values "$LRV" --lr-boundaries "$LRB" \
+    --device-augment True --cache-images True --num-workers 0 \
+    --checkpoint-interval 25 $CONT >> "$LOG" 2>&1 &
+  echo $! > /tmp/mn320.pid
+  wait $!
+  rc=$?
+  echo "[seg] segment exited rc=$rc at $(date -u +%H:%M:%S)" >> "$SEGLOG"
+  if [ "$rc" -ne 0 ]; then
+    E2=$(reached)
+    if [ "$E2" -le "$E" ]; then
+      echo "[seg] no progress (epoch $E2); aborting" >> "$SEGLOG"
+      exit 1
+    fi
+  fi
+  sleep 150   # tunnel session release
+done
+
+# ---------------------------------------------------------------- post
+OUT=runs/post_mn320
+mkdir -p "$OUT"
+run() { # name, then the command
+  name=$1; shift
+  echo "$(date -u +%H:%M:%S) start $name" >> "$OUT/progress"
+  timeout 2700 "$@" > "$OUT/$name.log" 2>&1
+  echo "$(date -u +%H:%M:%S) done  $name (exit $?)" >> "$OUT/progress"
+  sleep 150
+}
+echo "$(date -u +%H:%M:%S) begin post" > "$OUT/progress"
+
+CKPT=$NAME/final.ckpt.npz
+[ -f "$CKPT" ] || CKPT=$(ls $NAME/e*.ckpt.npz | sort -V | tail -1)
+CALIB64=$(ls $DATA/trainval/VOCdevkit/VOC2007/JPEGImages/*.jpg | sort | head -64)
+
+run test_float python infer.py --name "$NAME" \
+  --training-data "$DATA/training-data.json" \
+  --data-source pascal_voc --data-dir "$DATA" \
+  --sample test --compute-stats True --pascal-summary True \
+  --threshold 0.01 --batch-size 32 --output-dir runs/mn320-test
+
+run export_ptq python export_model.py --checkpoint-file "$CKPT" \
+  --output-file runs/mn320_ptq_int8.npz --quantize \
+  --calibration-images $CALIB64
+
+run test_ptq python infer.py --bundle runs/mn320_ptq_int8.npz \
+  --training-data "$DATA/training-data.json" \
+  --data-source pascal_voc --data-dir "$DATA" \
+  --sample test --compute-stats True --threshold 0.01 \
+  --batch-size 32 --output-dir runs/mn320-test-ptq
+
+run qat_finetune python tools/qat_finetune.py --name "$NAME" \
+  --data-dir "$DATA" --epochs 30 --batch-size 32 --lr 1e-4 \
+  --calib-images 64 --output runs/mn320_qat
+
+run export_qat python export_model.py \
+  --checkpoint-file runs/mn320_qat/final.ckpt.npz \
+  --output-file runs/mn320_qat_int8.npz --quantize
+
+run test_qat python infer.py --bundle runs/mn320_qat_int8.npz \
+  --training-data "$DATA/training-data.json" \
+  --data-source pascal_voc --data-dir "$DATA" \
+  --sample test --compute-stats True --threshold 0.01 \
+  --batch-size 32 --output-dir runs/mn320-test-qat
+
+grep -E "Epoch [0-9]+: train mAP" "$LOG" | sed 's/\[i\] //' > runs/mn320_curve_r5.txt
+touch runs/mn320.DONE
+echo "[seg] all done $(date -u +%H:%M:%S)" >> "$SEGLOG"
