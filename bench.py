@@ -67,7 +67,13 @@ def _real_calibration_images(h, w, count=16):
 
 
 def _measure_inference(args, parser, *, float_path, bundle_path, pallas_stem):
-    """Time one fused-inference configuration; returns (metric, img/s, int8?)."""
+    """Time one fused-inference configuration.
+
+    Returns ``(metric, img/s, int8?, repeat_times)`` where
+    ``repeat_times`` is the list of per-iteration seconds from each
+    timing repeat (min of it is the throughput number; median of it is
+    the honest p50 latency for small batches).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -96,6 +102,9 @@ def _measure_inference(args, parser, *, float_path, bundle_path, pallas_stem):
         if quantized and pallas_stem:
             parser.error(f"{bundle_path} is int8-quantized; "
                          "--pallas-stem is a bf16 float-stem kernel")
+        if pallas_stem and config.preset.backbone != "vgg":
+            parser.error(f"{bundle_path} is a {config.preset.backbone} "
+                         "bundle; --pallas-stem is a VGG stem kernel")
         overrides = {}
         if args.padded_heads:
             overrides["padded_heads"] = True
@@ -107,6 +116,11 @@ def _measure_inference(args, parser, *, float_path, bundle_path, pallas_stem):
 
             config = dataclasses.replace(config, **overrides)
     else:
+        from ssd_tensorflow_tpu.presets import get_preset_by_name
+
+        if pallas_stem and get_preset_by_name(args.preset).backbone != "vgg":
+            parser.error(f"--pallas-stem is a VGG stem kernel; "
+                         f"{args.preset} is not a VGG preset")
         config = ModelConfig(
             preset_name=args.preset,
             num_classes=20,
@@ -169,17 +183,207 @@ def _measure_inference(args, parser, *, float_path, bundle_path, pallas_stem):
     jax.block_until_ready(params)
     fn = jax.jit(chained)
     float(fn(params, images))  # compile + warm
-    best = float("inf")
+    times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
         float(fn(params, images))
-        best = min(best, (time.perf_counter() - t0) / args.iters)
+        times.append((time.perf_counter() - t0) / args.iters)
     kind = "int8_" if quantized else ""
     metric = (
         f"{config.preset.name}_batch{args.batch_size}_"
         f"{kind}fused_nms_inference"
     )
-    return metric, args.batch_size / best, quantized
+    return metric, args.batch_size / min(times), quantized, times
+
+
+def _measure_train(args):
+    """Time one train-step configuration.
+
+    Returns ``(metric, images/sec, flops_per_step)``. ``flops_per_step``
+    comes from XLA's own cost analysis of the compiled program (fwd +
+    bwd + optimizer as actually compiled, not an analytic estimate) and
+    is ``None`` when the backend doesn't report it — it feeds the
+    training-MFU numbers in docs/PERFORMANCE.md.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, init_params
+    from ssd_tensorflow_tpu.ops.anchors import anchors_for_preset
+    from ssd_tensorflow_tpu.parallel.train_step import (
+        TrainConfig,
+        make_train_state,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    config = ModelConfig(
+        preset_name=args.preset,
+        num_classes=20,
+        compute_dtype=args.compute_dtype,
+    )
+    params = init_params(jax.random.PRNGKey(0), config)
+    anchors = anchors_for_preset(config.preset)
+    h, w = config.preset.image_size.h, config.preset.image_size.w
+    images = jnp.asarray(
+        rng.integers(0, 255, (args.batch_size, h, w, 3), dtype=np.uint8)
+    )
+    tcfg = TrainConfig(model=config, detect=None)
+    state = make_train_state(params, tcfg)
+    step = make_train_step(tcfg, np.asarray(anchors))
+    batch = {
+        "images": images,
+        "gt_boxes": jnp.asarray(
+            np.tile([[0.5, 0.5, 0.4, 0.4]], (args.batch_size, 8, 1)).astype(
+                np.float32
+            )
+        ),
+        "gt_labels": jnp.zeros((args.batch_size, 8), jnp.int32),
+        "gt_mask": jnp.ones((args.batch_size, 8), bool),
+    }
+
+    flops = None
+    try:
+        cost = step.lower(state, batch).compile().cost_analysis()
+        if cost:
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass  # cost analysis is best-effort; the timing is the product
+
+    if args.device_augment:
+        from ssd_tensorflow_tpu.data.device_augment import (
+            AugmentConfig,
+            make_augment_fn,
+        )
+
+        augment = make_augment_fn(
+            AugmentConfig(out_h=h, out_w=w), np.asarray(anchors)
+        )
+        raw_batch, base_key = batch, jax.random.PRNGKey(0)
+
+        def run_once(state):
+            # chain augment+train steps; the state dependency forces
+            # sequential execution
+            for i in range(args.iters):
+                key = jax.random.fold_in(base_key, i)
+                state, losses, _ = step(state, augment(key, raw_batch))
+            return state, losses
+
+        state, losses = run_once(state)  # compile + warm
+        float(losses["total"])
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            state, losses = run_once(state)
+            float(losses["total"])
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        kind = "augmented_train_step"
+    else:
+        state, losses, _ = step(state, batch)  # compile
+        float(losses["total"])
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                state, losses, _ = step(state, batch)
+            float(losses["total"])  # state chain forces sequencing
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        kind = "train_step"
+    metric = f"{args.preset}_batch{args.batch_size}_{kind}"
+    return metric, args.batch_size / best, flops
+
+
+#: v5e bf16 peak (docs/PERFORMANCE.md "corrected peak"): MFU denominators
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _matrix_args(base, **over):
+    """Clone the parsed args with per-config overrides."""
+    ns = argparse.Namespace(**vars(base))
+    for k, v in over.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def _run_matrix(args, parser):
+    """One-process family x precision x mode sweep (VERDICT r4 item 6).
+
+    Emits one JSON line per configuration on stdout:
+      * inference throughput: {vgg512, vgg300, resnet320, mobilenet320}
+        x {int8 deploy, bf16 float} at the headline batch 64
+      * train-step throughput (+ MFU from XLA cost analysis):
+        vgg512 b8/b16/b32, vgg300 b32, resnet320 b32, mobilenet320 b32
+      * serving latency: per-family int8 batch-1 and batch-4 p50
+        milliseconds per batch (chained-iteration timing — the ~34 ms
+        tunnel round-trip is excluded by construction, CLAUDE.md)
+
+    Round-over-round perf diffing is then a two-file diff of the saved
+    JSON-lines files under docs/evidence/ instead of archaeology.
+    """
+    results = []
+
+    def emit(row):
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    families = ["vgg512", "vgg300", "resnet320", "mobilenet320"]
+
+    for preset in families:
+        for float_path in (False, True):
+            a = _matrix_args(args, preset=preset, batch_size=64)
+            bundle = (
+                DEPLOY_BUNDLE
+                if (preset == "vgg512" and not float_path
+                    and os.path.exists(DEPLOY_BUNDLE))
+                else None
+            )
+            metric, ips, _, _ = _measure_inference(
+                a, parser, float_path=float_path, bundle_path=bundle,
+                pallas_stem=False,
+            )
+            emit({
+                "metric": metric, "value": round(ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / INFERENCE_BASELINE, 4)
+                if preset == "vgg512" and not float_path else None,
+            })
+
+    train_cfgs = [("vgg512", 8), ("vgg512", 16), ("vgg512", 32),
+                  ("vgg300", 32), ("resnet320", 32), ("mobilenet320", 32)]
+    for preset, bs in train_cfgs:
+        a = _matrix_args(args, preset=preset, batch_size=bs,
+                         device_augment=False)
+        metric, ips, flops = _measure_train(a)
+        row = {"metric": metric, "value": round(ips, 2),
+               "unit": "images/sec/chip", "vs_baseline": None}
+        if flops:
+            row["flops_per_step"] = flops
+            row["mfu"] = round(ips / bs * flops / V5E_BF16_PEAK_FLOPS, 4)
+        emit(row)
+
+    for preset in families:
+        for bs in (1, 4):
+            a = _matrix_args(args, preset=preset, batch_size=bs,
+                             repeats=9, iters=20)
+            metric, _, _, times = _measure_inference(
+                a, parser, float_path=False, bundle_path=None,
+                pallas_stem=False,
+            )
+            times.sort()
+            p50_ms = times[len(times) // 2] * 1000.0
+            emit({
+                "metric": f"{preset}_batch{bs}_int8_serving_latency_p50",
+                "value": round(p50_ms, 3), "unit": "ms/batch",
+                "vs_baseline": None,
+            })
+
+    if args.out:
+        with open(args.out, "w") as f:
+            for row in results:
+                f.write(json.dumps(row) + "\n")
+        print(f"[i] matrix written to {args.out}", file=sys.stderr)
 
 
 def main():
@@ -218,7 +422,16 @@ def main():
         help="suppress the secondary bf16 stderr line the default int8 "
         "run also measures (kept for round-over-round comparability)",
     )
-    parser.add_argument("--mode", default="inference", choices=["inference", "train"])
+    parser.add_argument(
+        "--mode", default="inference",
+        choices=["inference", "train", "matrix"],
+        help="matrix: the one-process family x precision x {infer, "
+        "train, latency} sweep (JSON line per config; see --out)",
+    )
+    parser.add_argument(
+        "--out", default=None,
+        help="matrix mode: also save the JSON lines to this file",
+    )
     parser.add_argument(
         "--device-augment", action="store_true",
         help="train mode: include the on-device augmentation stage "
@@ -235,6 +448,10 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    if args.mode == "matrix":
+        _run_matrix(args, parser)
+        return
+
     if args.mode == "inference":
         if args.pallas_stem and not args.float and args.bundle is None:
             parser.error(
@@ -250,7 +467,7 @@ def main():
         ):
             bundle_path = DEPLOY_BUNDLE
 
-        metric, images_per_sec, quantized = _measure_inference(
+        metric, images_per_sec, quantized, _ = _measure_inference(
             args, parser, float_path=args.float, bundle_path=bundle_path,
             pallas_stem=args.pallas_stem,
         )
@@ -264,7 +481,7 @@ def main():
         # round-over-round while stdout keeps the one-JSON-line
         # contract.
         if quantized and args.bundle is None and not args.no_secondary:
-            m2, ips2, _ = _measure_inference(
+            m2, ips2, _, _ = _measure_inference(
                 args, parser, float_path=True, bundle_path=None,
                 pallas_stem=False,
             )
@@ -275,6 +492,25 @@ def main():
                         "value": round(ips2, 2),
                         "unit": "images/sec/chip",
                         "vs_baseline": round(ips2 / INFERENCE_BASELINE, 4),
+                    }
+                ),
+                file=sys.stderr,
+            )
+            # pinned train-step secondary (VERDICT r4 item 1): the
+            # driver series tracks training regressions too — vgg512
+            # b16, the accuracy-run configuration
+            # (tools/train_v512_segmented.sh)
+            m3, ips3, _ = _measure_train(
+                _matrix_args(args, preset="vgg512", batch_size=16,
+                             device_augment=False)
+            )
+            print(
+                "[secondary] " + json.dumps(
+                    {
+                        "metric": m3,
+                        "value": round(ips3, 2),
+                        "unit": "images/sec/chip",
+                        "vs_baseline": None,
                     }
                 ),
                 file=sys.stderr,

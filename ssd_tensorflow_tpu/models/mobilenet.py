@@ -88,6 +88,14 @@ def extra_layer_defs(preset: SSDPreset):
     defs = []
     cur = preset.maps[len(TRUNK_TAP_CHANNELS) - 1].size.h
     n_extra = preset.num_maps - len(TRUNK_TAP_CHANNELS)
+    # init_backbone_params allocates PRNG keys for len(EXTRA_DEFS)
+    # conv pairs; a preset needing more would fail there with an opaque
+    # StopIteration — reject it here with the real reason instead
+    if n_extra > len(EXTRA_DEFS):
+        raise ValueError(
+            f"{preset.name}: {n_extra} extra maps but the mobilenetv1 "
+            f"channel table (EXTRA_DEFS) defines only {len(EXTRA_DEFS)}"
+        )
     for i, m in enumerate(preset.maps[len(TRUNK_TAP_CHANNELS):]):
         target = m.size.h
         if target == -(-cur // 2):
@@ -98,7 +106,7 @@ def extra_layer_defs(preset: SSDPreset):
             raise ValueError(
                 f"{preset.name}: can't derive extra layer {cur}->{target}"
             )
-        reduce_ch, out_ch = EXTRA_DEFS[i] if i < len(EXTRA_DEFS) else EXTRA_DEFS[-1]
+        reduce_ch, out_ch = EXTRA_DEFS[i]
         defs.append((f"extra{i}_1", reduce_ch, 1, 1, "SAME"))
         defs.append((f"extra{i}_2", out_ch, 3, stride, padding))
         cur = target

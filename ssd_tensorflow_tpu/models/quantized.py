@@ -533,7 +533,17 @@ def calibrate_activation_amax(
     Returns ``{conv_name: (cin,) array}`` for
     :func:`quantize_weights_folded`; depthwise convs are skipped
     (weight-only quantized).
+
+    Chunks merge with an elementwise max, which is exact only for the
+    max-abs (``percentile=100``) calibration; a per-chunk percentile
+    merged with max would silently depend on ``batch_size``, so a
+    sub-100 percentile runs the whole calibration set as ONE chunk
+    (exact global percentile, at the cost of activation memory scaling
+    with the calibration-set size — fine for the 16-64 image sets the
+    export CLI uses).
     """
+    if percentile < 100.0:
+        batch_size = int(images.shape[0])
     out = None
     for off in range(0, images.shape[0], batch_size):
         chunk = _calibrate_amax_family_jit(
