@@ -35,9 +35,11 @@ if [ -f runs/coco_r320.log ]; then
 fi
 if [ -d runs/post_coco ]; then
   mkdir -p docs/evidence/post_coco
-  [ -f runs/post_coco/test_float.log ] && \
-    tail -100 runs/post_coco/test_float.log \
-      > docs/evidence/post_coco/test_float.log
+  for f in test_float test_int8_coco export_int8_coco; do
+    [ -f "runs/post_coco/$f.log" ] && \
+      tail -100 "runs/post_coco/$f.log" \
+        > "docs/evidence/post_coco/$f.log"
+  done
   [ -f runs/post_coco/progress ] && \
     cp runs/post_coco/progress docs/evidence/post_coco/
 fi
