@@ -75,6 +75,12 @@ def build_parser():
         "--pascal-summary", type=str2bool, default="False",
         help="write Pascal eval-server submission files",
     )
+    parser.add_argument(
+        "--coco-results", type=str2bool, default="False",
+        help="write detections as a COCO results JSON "
+        "(<output-dir>/coco_results.json, COCOeval-consumable; image "
+        "and category ids come from the --data-source coco maps)",
+    )
     return parser
 
 
@@ -154,6 +160,14 @@ def main(argv=None):
 
     ap_calc = APCalculator() if (args.compute_stats and gt_by_file) else None
     summary = PascalSummary() if args.pascal_summary else None
+    coco_results = None
+    if args.coco_results:
+        from ssd_tensorflow_tpu.eval.coco_results import CocoResultsWriter
+
+        coco_results = CocoResultsWriter(
+            image_ids=getattr(source, "image_ids", None),
+            cat_ids=getattr(source, "cat_ids", None),
+        )
 
     try:
         from tqdm import tqdm
@@ -210,6 +224,8 @@ def main(argv=None):
                 ap_calc.add_detections(gt_by_file[fname], boxes)
             if summary is not None:
                 summary.add_detections(fname, boxes)
+            if coco_results is not None:
+                coco_results.add_detections(fname, boxes)
 
     if ap_calc is not None:
         aps = ap_calc.compute_aps()
@@ -220,6 +236,11 @@ def main(argv=None):
     if summary is not None:
         summary.write_summary(args.output_dir)
         print("[i] Pascal summary written to", args.output_dir)
+
+    if coco_results is not None:
+        results_path = os.path.join(args.output_dir, "coco_results.json")
+        coco_results.write_results(results_path)
+        print("[i] COCO results written to", results_path)
 
     print("[i] All done.")
     return 0

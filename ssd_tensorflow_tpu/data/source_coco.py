@@ -54,6 +54,16 @@ COCO_CLASSES = [
     "scissors", "teddy bear", "hair drier", "toothbrush",
 ]
 
+#: Canonical COCO category ids for the 80 classes above (1..90 with the
+#: well-known gaps 12, 26, 29, 30, 45, 66, 68, 69, 71, 83) — the
+#: fallback ``category_id`` mapping for detection-results output when a
+#: dataset JSON's own ``categories`` block is unavailable.
+COCO_CATEGORY_IDS = [
+    i for i in range(1, 91)
+    if i not in (12, 26, 29, 30, 45, 66, 68, 69, 71, 83)
+]
+assert len(COCO_CATEGORY_IDS) == len(COCO_CLASSES)
+
 
 def _color_for(i, n):
     """Deterministic visually-spread BGR color per class."""
@@ -78,6 +88,16 @@ class COCOSource:
         self.train_samples = []
         self.valid_samples = []
         self.test_samples = []
+        #: filename -> COCO image id, for every image any loaded split
+        #: kept (feeds CocoResultsWriter's ``image_id`` field)
+        self.image_ids = {}
+        #: class name -> the dataset JSON's own category id (feeds
+        #: CocoResultsWriter's ``category_id`` field; canonical-table
+        #: fallback when a JSON carries no categories block)
+        self.cat_ids = {
+            name: COCO_CATEGORY_IDS[i]
+            for i, name in enumerate(COCO_CLASSES)
+        }
 
     # -- internals ----------------------------------------------------
 
@@ -100,6 +120,8 @@ class COCOSource:
             lid = self.lname2id.get(cat["name"])
             if lid is not None:
                 cat2lid[cat["id"]] = lid
+                # remember the dataset's own id for results output
+                self.cat_ids[cat["name"]] = cat["id"]
 
         per_image = {}
         for ann in doc.get("annotations", []):
@@ -116,6 +138,7 @@ class COCOSource:
             filename = os.path.join(image_root, im["file_name"])
             if not os.path.exists(filename):
                 continue
+            self.image_ids[filename] = im["id"]
             imgsize = Size(int(im["width"]), int(im["height"]))
             boxes = []
             for lid, (x, y, w, h) in per_image.get(im["id"], []):

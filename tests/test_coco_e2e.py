@@ -143,9 +143,24 @@ def test_coco_cli_chain(mini_coco, tmp_path):
             "--threshold", "0.01",
             "--batch-size", "4",
             "--output-dir", out_dir,
+            "--coco-results", "yes",
         ]
     )
     assert rc == 0
     # every test image was annotated (the chain saw all 4 COCO test files)
     annotated = [f for f in os.listdir(out_dir) if f.endswith(".jpg")]
     assert len(annotated) == 4
+    # the COCO results JSON is written and references only known image
+    # ids / category ids (eval/coco_results.py — COCOeval-consumable)
+    with open(os.path.join(out_dir, "coco_results.json")) as f:
+        results = json.load(f)
+    assert isinstance(results, list)
+    from ssd_tensorflow_tpu.data.source_coco import COCO_CATEGORY_IDS
+
+    test_image_ids = set(range(4))
+    for r in results:
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}
+        assert r["image_id"] in test_image_ids
+        assert r["category_id"] in COCO_CATEGORY_IDS
+        x, y, w, h = r["bbox"]
+        assert w > 0 and h > 0

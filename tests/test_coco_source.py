@@ -174,6 +174,77 @@ class TestCOCOSource:
             src.load_trainval_data(str(tmp_path), 0.1)
 
 
+class TestCocoResultsWriter:
+    """eval/coco_results.py — the COCO analog of PascalSummary."""
+
+    def _loaded_source(self, coco_dir):
+        src = load_data_source("coco")
+        src.load_trainval_data(coco_dir, 0)
+        return src
+
+    def test_source_exposes_ids(self, coco_dir):
+        src = self._loaded_source(coco_dir)
+        t5 = next(s for s in src.train_samples
+                  if s.filename.endswith("t005.jpg"))
+        assert src.image_ids[t5.filename] == 5
+        # the dataset JSON's own (non-standard) ids win ...
+        assert src.cat_ids["person"] == 1
+        assert src.cat_ids["dog"] == 18
+        # ... and classes absent from the JSON fall back to the
+        # canonical COCO table (car = 3, toothbrush = 90)
+        assert src.cat_ids["car"] == 3
+        assert src.cat_ids["toothbrush"] == 90
+
+    def test_gt_round_trips_to_original_bbox(self, coco_dir):
+        from ssd_tensorflow_tpu.eval.coco_results import CocoResultsWriter
+        from ssd_tensorflow_tpu.types import Size
+
+        src = self._loaded_source(coco_dir)
+        writer = CocoResultsWriter(src.image_ids, src.cat_ids)
+        t5 = next(s for s in src.train_samples
+                  if s.filename.endswith("t005.jpg"))
+        writer.add_detections(
+            t5.filename, [(0.9, b) for b in t5.boxes], Size(64, 48)
+        )
+        (r,) = writer.results
+        # exactly the numbers instances_train2017.json carries
+        assert r == {
+            "image_id": 5,
+            "category_id": 18,
+            "bbox": [16.0, 12.0, 32.0, 24.0],
+            "score": pytest.approx(0.9),
+        }
+
+    def test_out_of_bounds_detection_is_clamped(self, coco_dir):
+        from ssd_tensorflow_tpu.eval.coco_results import CocoResultsWriter
+        from ssd_tensorflow_tpu.types import Box, Point, Size
+
+        writer = CocoResultsWriter({}, {"person": 1})
+        huge = Box("person", 0, Point(0.5, 0.5), Size(2.0, 2.0))
+        writer.add_detections("000007.jpg", [(0.5, huge)], Size(64, 48))
+        (r,) = writer.results
+        assert r["image_id"] == 7  # numeric-stem fallback
+        assert r["bbox"] == [0.0, 0.0, 64.0, 48.0]
+
+    def test_unknown_label_skipped_and_json_written(self, coco_dir, tmp_path):
+        from ssd_tensorflow_tpu.eval.coco_results import CocoResultsWriter
+        from ssd_tensorflow_tpu.types import Box, Point, Size
+
+        writer = CocoResultsWriter({}, {"person": 1})
+        boxes = [
+            (0.8, Box("person", 0, Point(0.5, 0.5), Size(0.5, 0.5))),
+            (0.7, Box("aeroplane", 1, Point(0.5, 0.5), Size(0.5, 0.5))),
+        ]
+        writer.add_detections("img_a.jpg", boxes, Size(64, 48))
+        assert writer.skipped_labels == {"aeroplane"}
+        path = tmp_path / "out" / "coco_results.json"
+        writer.write_results(str(path))
+        loaded = json.load(open(path))
+        assert len(loaded) == 1
+        assert loaded[0]["category_id"] == 1
+        assert loaded[0]["image_id"] == "img_a"  # non-numeric stem kept
+
+
 @pytest.mark.e2e
 def test_process_dataset_cli_coco(coco_dir):
     from ssd_tensorflow_tpu.cli.process_dataset import main
