@@ -27,6 +27,7 @@ def test_assets_present():
     names = [os.path.basename(b) for b in BUNDLES]
     assert "vgg512_int8_minivoc.ssdtpu.npz" in names
     assert "mobilenet320_int8_qat_minivoc.ssdtpu.npz" in names
+    assert "resnet320_int8_minicoco.ssdtpu.npz" in names
 
 
 @pytest.mark.parametrize(
@@ -35,7 +36,8 @@ def test_assets_present():
 def test_bundle_loads_quantized(path):
     params, config, lid2name, act_scales = load_bundle(path)
     assert act_scales is not None, "shipped bundles are int8 deploys"
-    assert len(lid2name) == 20
+    # minivoc bundles carry the 20 VOC labels, minicoco the 80 COCO ones
+    assert len(lid2name) == (80 if "coco" in os.path.basename(path) else 20)
     assert config.preset.name in os.path.basename(path)
 
     # quantized weights are int8 on disk
