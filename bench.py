@@ -30,6 +30,12 @@ jitted fori_loop and the result fetched as a scalar, so the measurement
 reflects pure device throughput and cannot be fooled by async dispatch
 (the remote-TPU tunnel acks dispatches before execution completes, and
 a per-call host sync would instead pay the ~34 ms tunnel round-trip).
+
+Driver contract: the default invocation (and every non-matrix mode)
+prints exactly ONE JSON line on stdout; auxiliary series go to stderr
+as ``[secondary]`` lines. ``--mode matrix`` is the explicit exception —
+one JSON line per swept configuration (use ``--out`` to also save them
+as a file).
 """
 
 import argparse
@@ -243,14 +249,15 @@ def _measure_train(args):
         "gt_mask": jnp.ones((args.batch_size, 8), bool),
     }
 
-    flops = None
+    flops, compiled = None, None
     try:
-        cost = step.lower(state, batch).compile().cost_analysis()
+        compiled = step.lower(state, batch).compile()
+        cost = compiled.cost_analysis()
         if cost:
             cost = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = float(cost.get("flops", 0.0)) or None
     except Exception:
-        pass  # cost analysis is best-effort; the timing is the product
+        compiled = None  # cost analysis is best-effort; timing is the product
 
     if args.device_augment:
         from ssd_tensorflow_tpu.data.device_augment import (
@@ -281,13 +288,16 @@ def _measure_train(args):
             best = min(best, (time.perf_counter() - t0) / args.iters)
         kind = "augmented_train_step"
     else:
-        state, losses, _ = step(state, batch)  # compile
+        # reuse the cost-analysis executable — no second compile of the
+        # identical fwd+bwd program (it only exists for this signature)
+        runner = compiled if compiled is not None else step
+        state, losses, _ = runner(state, batch)  # warm
         float(losses["total"])
         best = float("inf")
         for _ in range(args.repeats):
             t0 = time.perf_counter()
             for _ in range(args.iters):
-                state, losses, _ = step(state, batch)
+                state, losses, _ = runner(state, batch)
             float(losses["total"])  # state chain forces sequencing
             best = min(best, (time.perf_counter() - t0) / args.iters)
         kind = "train_step"
@@ -439,14 +449,7 @@ def main():
     )
     args = parser.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, init_params
-    from ssd_tensorflow_tpu.ops.anchors import anchors_for_preset
-
-    rng = np.random.default_rng(0)
+    extra = {}  # optional fields (train mode: flops_per_step / mfu)
 
     if args.mode == "matrix":
         _run_matrix(args, parser)
@@ -516,84 +519,19 @@ def main():
                 file=sys.stderr,
             )
     else:
-        config = ModelConfig(
-            preset_name=args.preset,
-            num_classes=20,
-            compute_dtype=args.compute_dtype,
-        )
-        params = init_params(jax.random.PRNGKey(0), config)
-        anchors = jnp.asarray(anchors_for_preset(config.preset))
-        h, w = config.preset.image_size.h, config.preset.image_size.w
-        images = jnp.asarray(
-            rng.integers(0, 255, (args.batch_size, h, w, 3), dtype=np.uint8)
-        )
-        from ssd_tensorflow_tpu.parallel.train_step import (
-            TrainConfig,
-            make_train_state,
-            make_train_step,
-        )
-
-        tcfg = TrainConfig(model=config, detect=None)
-        state = make_train_state(params, tcfg)
-        step = make_train_step(tcfg, np.asarray(anchors))
-        batch = {
-            "images": images,
-            "gt_boxes": jnp.asarray(
-                np.tile([[0.5, 0.5, 0.4, 0.4]], (args.batch_size, 8, 1)).astype(
-                    np.float32
-                )
-            ),
-            "gt_labels": jnp.zeros((args.batch_size, 8), jnp.int32),
-            "gt_mask": jnp.ones((args.batch_size, 8), bool),
-        }
-        if args.device_augment:
-            from ssd_tensorflow_tpu.data.device_augment import (
-                AugmentConfig,
-                make_augment_fn,
-            )
-
-            augment = make_augment_fn(
-                AugmentConfig(out_h=h, out_w=w), np.asarray(anchors)
-            )
-            raw_batch, base_key = batch, jax.random.PRNGKey(0)
-
-            def step_all(state, key):
-                return step(state, augment(key, raw_batch))
-
-            def run_once(state):
-                # chain augment+train steps; the state dependency forces
-                # sequential execution
-                for i in range(args.iters):
-                    key = jax.random.fold_in(base_key, i)
-                    state, losses, _ = step_all(state, key)
-                return state, losses
-
-            state, losses = run_once(state)  # compile + warm
-            float(losses["total"])
-            best = float("inf")
-            for _ in range(args.repeats):
-                t0 = time.perf_counter()
-                state, losses = run_once(state)
-                float(losses["total"])
-                best = min(best, (time.perf_counter() - t0) / args.iters)
-            kind = "augmented_train_step"
-        else:
-            state, losses, _ = step(state, batch)  # compile
-            float(losses["total"])
-            best = float("inf")
-            for _ in range(args.repeats):
-                t0 = time.perf_counter()
-                for _ in range(args.iters):
-                    state, losses, _ = step(state, batch)
-                float(losses["total"])  # state chain forces sequencing
-                best = min(best, (time.perf_counter() - t0) / args.iters)
-            kind = "train_step"
-        metric = f"{args.preset}_batch{args.batch_size}_{kind}"
-        images_per_sec = args.batch_size / best
+        metric, images_per_sec, flops = _measure_train(args)
         # the reference publishes no training throughput (SURVEY.md §6)
         # and inventing a constant would launder a guess into a metric —
         # train mode reports the raw number with no ratio
         vs_baseline = None
+        if flops:
+            extra = {
+                "flops_per_step": flops,
+                "mfu": round(
+                    images_per_sec / args.batch_size * flops
+                    / V5E_BF16_PEAK_FLOPS, 4
+                ),
+            }
 
     print(
         json.dumps(
@@ -602,6 +540,7 @@ def main():
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": vs_baseline,
+                **extra,
             }
         )
     )

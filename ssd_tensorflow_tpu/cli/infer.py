@@ -20,7 +20,7 @@ from ssd_tensorflow_tpu.eval.average_precision import APCalculator, APs2mAP
 from ssd_tensorflow_tpu.eval.pascal_summary import PascalSummary
 from ssd_tensorflow_tpu.inference import InferenceModel
 from ssd_tensorflow_tpu.ops.postprocess import DetectionConfig
-from ssd_tensorflow_tpu.types import str2bool
+from ssd_tensorflow_tpu.types import Size, str2bool
 from ssd_tensorflow_tpu.utils.checkpoint import find_checkpoint
 
 
@@ -225,7 +225,9 @@ def main(argv=None):
             if summary is not None:
                 summary.add_detections(fname, boxes)
             if coco_results is not None:
-                coco_results.add_detections(fname, boxes)
+                # true size already known from preprocess — no second
+                # cv2 decode (host JPEG decode is the 1-core ceiling)
+                coco_results.add_detections(fname, boxes, Size(*sizes[i]))
 
     if ap_calc is not None:
         aps = ap_calc.compute_aps()

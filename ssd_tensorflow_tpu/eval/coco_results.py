@@ -70,6 +70,12 @@ class CocoResultsWriter:
                 self.skipped_labels.add(box.label)
                 continue
             xmin, xmax, ymin, ymax = prop2abs(box.center, box.size, img_size)
+            # drop boxes lying entirely outside the canvas — clamping
+            # them would fabricate 1-px edge slivers at full confidence
+            # (the loader drops degenerate gt the same way)
+            if (xmax < 1 or xmin > img_size.w
+                    or ymax < 1 or ymin > img_size.h):
+                continue
             # the decoded corners follow the loader's 1-based
             # inclusive-corner convention (source_coco.py: xmin = x + 1,
             # xmax = x + w); clamp on that canvas, then invert it:

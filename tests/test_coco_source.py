@@ -226,6 +226,23 @@ class TestCocoResultsWriter:
         assert r["image_id"] == 7  # numeric-stem fallback
         assert r["bbox"] == [0.0, 0.0, 64.0, 48.0]
 
+    def test_fully_outside_detection_dropped(self, coco_dir):
+        from ssd_tensorflow_tpu.eval.coco_results import CocoResultsWriter
+        from ssd_tensorflow_tpu.types import Box, Point, Size
+
+        writer = CocoResultsWriter({}, {"person": 1})
+        outside = [
+            # fully left / above / right / below of the 64x48 canvas
+            Box("person", 0, Point(-0.5, 0.5), Size(0.2, 0.2)),
+            Box("person", 0, Point(0.5, -0.5), Size(0.2, 0.2)),
+            Box("person", 0, Point(1.5, 0.5), Size(0.2, 0.2)),
+            Box("person", 0, Point(0.5, 1.5), Size(0.2, 0.2)),
+        ]
+        writer.add_detections(
+            "000001.jpg", [(0.9, b) for b in outside], Size(64, 48)
+        )
+        assert writer.results == []
+
     def test_unknown_label_skipped_and_json_written(self, coco_dir, tmp_path):
         from ssd_tensorflow_tpu.eval.coco_results import CocoResultsWriter
         from ssd_tensorflow_tpu.types import Box, Point, Size

@@ -8,7 +8,7 @@ cd /root/repo
 # mn320 plateau retrain (tools/train_mn320_plateau.sh)
 if [ -f runs/mn320.log ]; then
   grep -oE "Epoch [0-9]+: train mAP [0-9.]+, valid mAP [0-9.]+" \
-    runs/mn320.log > docs/evidence/mn320_curve_r5.txt
+    runs/mn320.log > docs/evidence/mn320_curve_r5.txt || true
 fi
 if [ -d runs/post_mn320 ]; then
   mkdir -p docs/evidence/post_mn320

@@ -20,7 +20,8 @@ run() { # name, then the command
   name=$1; shift
   echo "$(date -u +%H:%M:%S) start $name" >> "$LOG/progress"
   timeout 2700 "$@" > "$LOG/$name.log" 2>&1
-  echo "$(date -u +%H:%M:%S) done  $name (exit $?)" >> "$LOG/progress"
+  rc=$?  # capture before $(date) clobbers it
+  echo "$(date -u +%H:%M:%S) done  $name (exit $rc)" >> "$LOG/progress"
   sleep 150  # exclusive tunnel session release
 }
 

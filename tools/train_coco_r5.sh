@@ -22,11 +22,11 @@ SEGLOG=runs/coco_segments.log
 LOG=runs/coco_r320.log
 
 reached() {
-  python - <<'EOF'
+  python - "$NAME" <<'EOF'
 import sys
 sys.path.insert(0, "/root/repo")
 from ssd_tensorflow_tpu.utils.checkpoint import find_checkpoint
-path, epoch = find_checkpoint("runs/coco_r320")
+path, epoch = find_checkpoint(sys.argv[1])
 print(epoch if epoch is not None else 0)
 EOF
 }
@@ -66,7 +66,8 @@ timeout 2700 python infer.py --name "$NAME" \
   --sample test --compute-stats True --threshold 0.01 \
   --batch-size 32 --output-dir runs/coco-test \
   > "$OUT/test_float.log" 2>&1
-echo "$(date -u +%H:%M:%S) done test_float (exit $?)" >> "$OUT/progress"
+rc=$?  # capture before $(date) clobbers it
+echo "$(date -u +%H:%M:%S) done test_float (exit $rc)" >> "$OUT/progress"
 
 grep -oE "Epoch [0-9]+: train mAP [0-9.]+, valid mAP [0-9.]+" "$LOG" \
   > runs/coco_curve.txt

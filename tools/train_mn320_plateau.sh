@@ -37,11 +37,11 @@ LRV="0.00075;0.0001"
 LRB="14100"
 
 reached() {
-  python - <<'EOF'
+  python - "$NAME" <<'EOF'
 import sys
 sys.path.insert(0, "/root/repo")
 from ssd_tensorflow_tpu.utils.checkpoint import find_checkpoint
-path, epoch = find_checkpoint("runs/mn320")
+path, epoch = find_checkpoint(sys.argv[1])
 print(epoch if epoch is not None else 0)
 EOF
 }
@@ -79,7 +79,8 @@ run() { # name, then the command
   name=$1; shift
   echo "$(date -u +%H:%M:%S) start $name" >> "$OUT/progress"
   timeout 2700 "$@" > "$OUT/$name.log" 2>&1
-  echo "$(date -u +%H:%M:%S) done  $name (exit $?)" >> "$OUT/progress"
+  rc=$?  # capture before $(date) clobbers it
+  echo "$(date -u +%H:%M:%S) done  $name (exit $rc)" >> "$OUT/progress"
   sleep 150
 }
 echo "$(date -u +%H:%M:%S) begin post" > "$OUT/progress"
