@@ -129,7 +129,11 @@ def main(argv=None):
             samples = source.train_samples
         for s in samples:
             gt_by_file[s.filename] = s.boxes
-        files += [s.filename for s in samples]
+        # skip sample files already passed explicitly — processing a
+        # file twice would double-register its gt in APCalculator and
+        # skew mAP
+        explicit = set(files)
+        files += [s.filename for s in samples if s.filename not in explicit]
 
     if not files:
         print("[!] No files to process")

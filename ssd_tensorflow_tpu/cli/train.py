@@ -519,6 +519,12 @@ def main(argv=None):
             )
 
     profiled = False
+    # profile the second trained epoch (the first is compile noise) —
+    # unless the run only spans one epoch, which would otherwise never
+    # trace at all
+    profile_epoch = (
+        start_epoch + 1 if args.epochs - start_epoch > 1 else start_epoch
+    )
 
     # ------------------------------------------------------------------
     # Epoch loop (reference: train.py:243-343)
@@ -567,7 +573,7 @@ def main(argv=None):
         for batch_i, (dev_batch, (gt_lists, num_real)) in enumerate(tqdm(
             generator, total=n_train_batches, desc=description, unit="batches"
         )):
-            if args.profile_dir and not profiled and e > start_epoch:
+            if args.profile_dir and not profiled and e >= profile_epoch:
                 jax.profiler.start_trace(args.profile_dir)
 
             if augment_fn is not None:
@@ -592,7 +598,7 @@ def main(argv=None):
             state, losses, dets = train_step(state, dev_batch)
             timer.step(num_real)
 
-            if args.profile_dir and not profiled and e > start_epoch:
+            if args.profile_dir and not profiled and e >= profile_epoch:
                 jax.block_until_ready(losses["total"])
                 jax.profiler.stop_trace()
                 profiled = True

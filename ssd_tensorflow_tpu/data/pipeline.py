@@ -31,7 +31,7 @@ import numpy as np
 
 from ssd_tensorflow_tpu.data import transforms as T
 from ssd_tensorflow_tpu.ops.anchors import anchors_for_preset
-from ssd_tensorflow_tpu.ops.iou_np import canvas_corners_np, pairwise_canvas_iou_np
+from ssd_tensorflow_tpu.ops.iou_np import canvas_corners_np
 from ssd_tensorflow_tpu.presets import preset_from_dict
 
 #: default cap on ground-truth boxes per image; VOC maxes out around 40.
@@ -60,15 +60,8 @@ def validate_augmentation_config(aug: dict, where: str) -> dict:
     return aug
 
 
-def _boxes_to_arrays(boxes, max_gt):
-    out_boxes = np.zeros((max_gt, 4), dtype=np.float32)
-    out_labels = np.zeros((max_gt,), dtype=np.int32)
-    out_mask = np.zeros((max_gt,), dtype=bool)
-    for i, b in enumerate(boxes[:max_gt]):
-        out_boxes[i] = (b.center.x, b.center.y, b.size.w, b.size.h)
-        out_labels[i] = b.labelid
-        out_mask[i] = True
-    return out_boxes, out_labels, out_mask
+# the padded-gt array layout has a single definition (transforms.py)
+_boxes_to_arrays = T.boxes_to_arrays
 
 
 class _SampleProcessor:
@@ -97,15 +90,19 @@ class _SampleProcessor:
         self._anchor_corners = canvas_corners_np(anchors)
 
     def _has_positive(self, boxes) -> bool:
+        # ops.matching.has_positive_anchor with the corners precomputed
+        # once per worker (imported lazily: matching.py pulls in jax,
+        # which the host-only pipeline path doesn't otherwise need)
+        from ssd_tensorflow_tpu.ops.matching import has_positive_anchor
+
         if not boxes:
             return False
         arr = np.array(
             [[b.center.x, b.center.y, b.size.w, b.size.h] for b in boxes]
         )
-        iou = pairwise_canvas_iou_np(
-            canvas_corners_np(arr), self._anchor_corners
+        return has_positive_anchor(
+            arr, None, None, anchor_corners_np=self._anchor_corners
         )
-        return bool(iou.max() > 0.5)
 
     def __call__(self, sample):
         if self.train:

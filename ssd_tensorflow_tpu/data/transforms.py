@@ -73,9 +73,18 @@ class ImageLoaderTransform(Transform):
                 img = cv2.imread(gt.filename)
                 if img is not None:
                     _DECODE_CACHE[gt.filename] = img
-            # downstream transforms may write in place; hand out a copy
-            return (None if img is None else img.copy()), label, gt
-        return cv2.imread(gt.filename), label, gt
+            if img is not None:
+                # downstream transforms may write in place; hand out a copy
+                return img.copy(), label, gt
+        else:
+            img = cv2.imread(gt.filename)
+        if img is None:
+            # fail loudly with the culprit's name: a silent None here
+            # surfaces as an opaque AttributeError in a worker process
+            raise ValueError(
+                f"cannot decode image {gt.filename!r} (missing or corrupt)"
+            )
+        return img, label, gt
 
 
 class ResizeTransform(Transform):
@@ -143,7 +152,9 @@ class HueTransform(Transform):
         hsv = cv2.cvtColor(data, cv2.COLOR_BGR2HSV).astype(np.float32)
         delta = random.randint(-self.delta, self.delta)
         h = hsv[..., 0] + delta
-        h = np.where(h > 180, h - 180, h)
+        # OpenCV uint8 hue lives in [0, 179]; >= 180 wraps to 0 — same
+        # rule as the device twin (device_augment.py hsv_pass)
+        h = np.where(h >= 180, h - 180, h)
         h = np.where(h < 0, h + 180, h)
         hsv[..., 0] = h
         return (
@@ -347,19 +358,26 @@ class LabelCreatorTransform(Transform):
         return data, np.asarray(vec), gt
 
 
-def sample_to_arrays(gt: Sample, max_gt: int):
-    """Sample -> fixed-shape (boxes (G,4), labels (G,), mask (G,)) arrays.
+def boxes_to_arrays(box_list, max_gt: int):
+    """Box list -> fixed-shape (boxes (G,4), labels (G,), mask (G,)) arrays.
 
     Truncates past ``max_gt`` (VOC images rarely exceed ~40 objects).
+    The single definition of the padded-gt array layout — the training
+    pipeline and the annotate/notebook paths both go through it.
     """
     boxes = np.zeros((max_gt, 4), dtype=np.float32)
     labels = np.zeros((max_gt,), dtype=np.int32)
     mask = np.zeros((max_gt,), dtype=bool)
-    for i, b in enumerate(gt.boxes[:max_gt]):
+    for i, b in enumerate(box_list[:max_gt]):
         boxes[i] = (b.center.x, b.center.y, b.size.w, b.size.h)
         labels[i] = b.labelid
         mask[i] = True
     return boxes, labels, mask
+
+
+def sample_to_arrays(gt: Sample, max_gt: int):
+    """Sample -> fixed-shape gt arrays (see ``boxes_to_arrays``)."""
+    return boxes_to_arrays(gt.boxes, max_gt)
 
 
 # ---------------------------------------------------------------------------

@@ -185,17 +185,23 @@ class InferenceModel:
             if overrides.get("pallas_stem") and (
                 act_scales is not None
                 or model_cfg.compute_dtype != "bfloat16"
+                or model_cfg.preset.backbone != "vgg"
             ):
-                # the Pallas stem is a bf16 float-path kernel: int8
+                # the Pallas stem is a bf16 VGG-stem kernel: int8
                 # bundles run their own quantized stem, f32 bundles the
-                # f32 XLA stem — dropping the flag beats crashing in
-                # ModelConfig.__post_init__ on a bundle the user may not
-                # know the dtype of
-                kind = ("int8" if act_scales is not None
-                        else model_cfg.compute_dtype)
+                # f32 XLA stem, and the GN families have a different
+                # conv1 block entirely — dropping the flag beats
+                # crashing in ModelConfig.__post_init__ on a bundle the
+                # user may not know the dtype/family of
+                kind = (
+                    "int8" if act_scales is not None
+                    else model_cfg.preset.backbone
+                    if model_cfg.preset.backbone != "vgg"
+                    else model_cfg.compute_dtype
+                )
                 print(
                     f"[!] pallas_stem override ignored: this {kind} "
-                    "bundle does not run the bf16 float stem"
+                    "bundle does not run the bf16 VGG float stem"
                 )
                 overrides.pop("pallas_stem")
             model_cfg = dataclasses.replace(model_cfg, **overrides)

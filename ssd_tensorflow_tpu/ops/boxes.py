@@ -16,8 +16,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-#: Virtual canvas edge length (reference: utils.py:122).
-CANVAS_SIZE = 1000
+from ssd_tensorflow_tpu.types import CANVAS
+
+#: Virtual canvas edge length (reference: utils.py:122) — single source
+#: of truth: the square protocol canvas types.CANVAS.
+CANVAS_SIZE = CANVAS.w
 
 
 def cxcywh_to_corners(boxes, img_w: float = 1.0, img_h: float = 1.0):

@@ -10,7 +10,11 @@ from __future__ import annotations
 
 import numpy as np
 
-CANVAS_SIZE = 1000
+from ssd_tensorflow_tpu.types import CANVAS
+
+#: single source of truth: the square protocol canvas (types.CANVAS,
+#: reference utils.py:122)
+CANVAS_SIZE = CANVAS.w
 
 
 def canvas_corners_np(boxes, canvas: int = CANVAS_SIZE):

@@ -138,7 +138,9 @@ def encode_targets_batch(
     )(gt_boxes, gt_labels, gt_mask)
 
 
-def has_positive_anchor(gt_boxes_np, gt_mask_np, anchors_np, threshold=MATCH_THRESHOLD):
+def has_positive_anchor(gt_boxes_np, gt_mask_np, anchors_np,
+                        threshold=MATCH_THRESHOLD, *,
+                        anchor_corners_np=None):
     """Host-side check used by the data pipeline's resampling rule.
 
     The reference re-runs the augmentation chain up to 50x until the
@@ -146,14 +148,27 @@ def has_positive_anchor(gt_boxes_np, gt_mask_np, anchors_np, threshold=MATCH_THR
     (training_data.py:92-98). A positive exists iff any (gt, anchor)
     protocol IoU exceeds the threshold, so the check reduces to one
     numpy max — no full assignment needed.
+
+    ``anchor_corners_np``: optional precomputed
+    ``iou_np.canvas_corners_np(anchors)`` — the pipeline's per-sample
+    hot path passes it to avoid re-integerizing thousands of anchors on
+    every resample (``anchors_np`` is ignored when given).
     """
     import numpy as np
 
-    from ssd_tensorflow_tpu.ops.iou_np import canvas_iou_np
+    from ssd_tensorflow_tpu.ops.iou_np import (
+        canvas_corners_np,
+        pairwise_canvas_iou_np,
+    )
 
     if gt_mask_np is not None:
         gt_boxes_np = gt_boxes_np[gt_mask_np]
+    gt_boxes_np = np.asarray(gt_boxes_np)
     if gt_boxes_np.shape[0] == 0:
         return False
-    iou = canvas_iou_np(np.asarray(gt_boxes_np), np.asarray(anchors_np))
+    if anchor_corners_np is None:
+        anchor_corners_np = canvas_corners_np(np.asarray(anchors_np))
+    iou = pairwise_canvas_iou_np(
+        canvas_corners_np(gt_boxes_np), anchor_corners_np
+    )
     return bool(iou.max() > threshold)

@@ -66,19 +66,26 @@ class LossSummary:
         self.sample_name = sample_name
         self.num_samples = num_samples
         self.loss_values = {k: 0.0 for k in self.LOSS_NAMES}
+        self.seen = 0
 
     def add(self, values, num_samples):
         for k in self.LOSS_NAMES:
             self.loss_values[k] += float(values[k]) * num_samples
+        self.seen += num_samples
 
     def push(self, epoch):
+        # normalize by the samples actually accumulated — the train
+        # generator drops the last partial batch, so dividing by the
+        # dataset size would read systematically low
+        denom = self.seen or self.num_samples
         for k in self.LOSS_NAMES:
             self.writer.add_scalar(
                 f"{self.sample_name}_{k}_loss",
-                self.loss_values[k] / max(self.num_samples, 1),
+                self.loss_values[k] / max(denom, 1),
                 epoch,
             )
             self.loss_values[k] = 0.0
+        self.seen = 0
 
 
 class NetSummary:

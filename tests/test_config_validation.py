@@ -172,6 +172,22 @@ class TestInferenceOverrideGuard:
         assert model.config.pallas_stem is False
         assert "pallas_stem override ignored" in capsys.readouterr().out
 
+    def test_pallas_stem_dropped_on_family_bundle(self, capsys):
+        # a bf16 GN-family bundle has no VGG stem at all — the flag is
+        # dropped with the family named, not a ModelConfig ValueError
+        import jax
+
+        from ssd_tensorflow_tpu.inference import InferenceModel
+        from ssd_tensorflow_tpu.models.ssd_vgg import ModelConfig, init_params
+
+        cfg = ModelConfig(
+            preset_name="rtest64", num_classes=2, compute_dtype="bfloat16"
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        model = InferenceModel(params, cfg, overrides={"pallas_stem": True})
+        assert model.config.pallas_stem is False
+        assert "resnet" in capsys.readouterr().out
+
     def test_pallas_stem_dropped_on_int8_bundle(self, capsys):
         # act_scales marks a quantized bundle; construction must not
         # raise even though the config is bf16-incompatible with the flag

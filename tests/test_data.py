@@ -222,13 +222,22 @@ class TestDecodeCache:
             T.enable_decode_cache(False)
         assert len(T._DECODE_CACHE) == 0
 
-    def test_missing_file_not_cached(self):
+    def test_missing_file_raises_and_not_cached(self):
+        # an undecodable file fails loudly with its name (a silent None
+        # would surface as an opaque AttributeError in a worker) and
+        # must not pollute the cache
         T.enable_decode_cache(True)
         try:
-            img, _, _ = T.ImageLoaderTransform()(
-                None, None, Sample("/nonexistent.jpg", [], Size(1, 1))
-            )
-            assert img is None
+            with pytest.raises(ValueError, match="nonexistent.jpg"):
+                T.ImageLoaderTransform()(
+                    None, None, Sample("/nonexistent.jpg", [], Size(1, 1))
+                )
             assert len(T._DECODE_CACHE) == 0
         finally:
             T.enable_decode_cache(False)
+
+    def test_missing_file_raises_without_cache(self):
+        with pytest.raises(ValueError, match="nonexistent.jpg"):
+            T.ImageLoaderTransform()(
+                None, None, Sample("/nonexistent.jpg", [], Size(1, 1))
+            )

@@ -246,3 +246,31 @@ class TestTensorBoardFullParse:
         assert imgv.image.height == 8
         assert imgv.image.width == 8
         assert imgv.image.encoded_image_string.startswith(b"\x89PNG")
+
+
+class TestLossSummary:
+    def test_normalizes_by_seen_samples(self, tmp_path):
+        """drop_last means fewer samples than the dataset size reach
+        add(); push() must divide by what it actually saw, or the
+        reported loss reads systematically low."""
+        from ssd_tensorflow_tpu.utils.summaries import LossSummary
+
+        w = SummaryWriter(str(tmp_path))
+        # dataset nominally 1000 samples, but only 960 accumulated
+        ls = LossSummary(w, "training", 1000)
+        for _ in range(15):
+            ls.add(
+                {"total": 2.0, "localization": 1.0,
+                 "confidence": 0.5, "l2": 0.25},
+                64,
+            )
+        ls.push(1)
+        # accumulators reset for the next epoch
+        assert ls.seen == 0
+        w.flush()
+        records = _read_records(
+            os.path.join(tmp_path, os.listdir(tmp_path)[0])
+        )
+        # 2.0 * 960 / 960 == 2.0 — the old /1000 behavior would give 1.92
+        total = next(r for r in records if b"training_total_loss" in r)
+        assert struct.pack("<f", 2.0) in total
